@@ -1,0 +1,71 @@
+"""Headline benchmark: 800x4000 float32 channel flow, 10,000 timesteps —
+the reference's north-star row (README.md:90, R9 280X SP: 14.38 s =
+2225.3 MLUPS). Prints ONE JSON line with MLUPS and the ratio vs that
+baseline.
+
+Usage: python bench.py [--backend auto|xla|pallas] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MLUPS = 2225.3  # R9 280X OpenCL SP, 800x4000 (README.md:90)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("--nx", type=int, default=800)
+    ap.add_argument("--ny", type=int, default=4000)
+    ap.add_argument("--warmup", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+
+    from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry, available_backends
+
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if "pallas" in available_backends() and jax.default_backend() == "tpu" else "xla"
+
+    cfg = LatticeConfig(nx=args.nx, ny=args.ny, dtype=np.float32)
+    walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
+
+    sim = Simulation(cfg, walls, backend=backend)
+    sim.run(args.warmup)  # compile + warm caches; excluded from timing
+    sim.elapsed = 0.0
+    sim.steps_done = 0
+
+    sim.run(args.steps)
+    mlups = sim.mlups
+
+    # correctness guard: the run must be numerically sane (the reference
+    # hard-faults on NaN via feenableexcept, src/latticeboltzmann.c:129)
+    re = sim.reynolds()
+    f = sim.state()
+    ok = bool(np.isfinite(f).all() and (f >= 0).all() and np.isfinite(re))
+
+    result = {
+        "metric": f"MLUPS_{args.nx}x{args.ny}_f32_{backend}",
+        "value": round(mlups, 1),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups / BASELINE_MLUPS, 3),
+        "runtime_s": round(sim.elapsed, 3),
+        "steps": args.steps,
+        "reynolds": float(re),
+        "finite_and_positive": ok,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""Simulation facade — the framework's main user-facing API.
+
+Wraps a functional backend (XLA roll-based, fused Pallas, or sharded
+multi-chip) behind the stateful run/diagnose surface that the reference's
+main() exposes (src/latticeboltzmann.c:127-182): initialize, advance n
+steps, report Reynolds/MLUPS, dump fields.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry
+from ..core.spec import LatticeConfig, W, NSPEEDS
+from ..ops import stream_collide as xla_ops
+
+# backend name -> run_steps(f, walls, cfg, n_steps) -> f
+_BACKENDS: dict[str, Callable] = {}
+
+
+def register_backend(name: str, run_steps: Callable) -> None:
+    _BACKENDS[name] = run_steps
+
+
+register_backend("xla", xla_ops.run_steps)
+
+
+def _register_sharded():
+    from ..parallel import sharded
+
+    # overlapped halo exchange (reference's fast MPI mode) and the
+    # synchronous exchange-then-compute mode (its baseline mode)
+    register_backend("sharded", sharded.make_backend(overlap=True))
+    register_backend("sharded-sync", sharded.make_backend(overlap=False))
+
+
+_register_sharded()
+
+
+def available_backends() -> list[str]:
+    return sorted(_BACKENDS)
+
+
+def initial_state(cfg: LatticeConfig) -> np.ndarray:
+    """Rest-equilibrium initial fill (src/latticeboltzmann.c:583-591)."""
+    f = np.empty((NSPEEDS, cfg.nx, cfg.ny), dtype=np.dtype(cfg.dtype))
+    rho = np.asarray(cfg.initial_density, dtype=np.dtype(cfg.dtype))
+    for s in range(NSPEEDS):
+        f[s] = rho * np.asarray(W[s], dtype=np.dtype(cfg.dtype))
+    return f
+
+
+class Simulation:
+    """A running lattice. `backend` selects the compute path:
+
+    - "xla":    portable jnp.roll-based fused step (ops/stream_collide.py)
+    - "pallas": fused temporally-blocked Pallas kernel (ops/fused_kernel.py)
+    - "sharded": multi-chip row-decomposed path (parallel/sharded.py),
+      the TPU equivalent of the reference's MPI mode (README.md:44-57)
+    """
+
+    def __init__(
+        self,
+        cfg: LatticeConfig,
+        walls: np.ndarray | None = None,
+        *,
+        backend: str = "xla",
+        f0: np.ndarray | None = None,
+    ):
+        self.cfg = cfg
+        if walls is None:
+            walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
+        if walls.shape != (cfg.nx, cfg.ny):
+            raise ValueError(f"walls shape {walls.shape} != lattice {(cfg.nx, cfg.ny)}")
+        if backend not in _BACKENDS:
+            raise ValueError(f"unknown backend {backend!r}; have {available_backends()}")
+        self.backend = backend
+        self._run_steps = _BACKENDS[backend]
+        self.walls_np = np.asarray(walls, dtype=bool)
+        self.walls = jnp.asarray(self.walls_np)
+        f_init = initial_state(cfg) if f0 is None else np.asarray(f0, np.dtype(cfg.dtype))
+        self.f = jnp.asarray(f_init)
+        self.steps_done = 0
+        self.elapsed = 0.0
+
+    def run(self, n_steps: int, *, block: bool = True) -> "Simulation":
+        """Advance n_steps under one jit(scan); timing excludes compile."""
+        t0 = time.perf_counter()
+        self.f = self._run_steps(self.f, self.walls, self.cfg, n_steps)
+        if block:
+            # NOTE: under tunneled TPU runtimes block_until_ready() can
+            # return before execution finishes; fetching a scalar reduce
+            # of the result is the reliable completion barrier.
+            float(jnp.sum(self.f[0, 0, :8]))
+        self.elapsed += time.perf_counter() - t0
+        self.steps_done += n_steps
+        return self
+
+    def state(self) -> np.ndarray:
+        return np.asarray(self.f)
+
+    def macroscopic(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        rho, ux, uy = xla_ops.macroscopic(self.f)
+        return np.asarray(rho), np.asarray(ux), np.asarray(uy)
+
+    def speed_squared(self) -> np.ndarray:
+        """|u|^2 field, the quantity PrintLattice dumps
+        (src/latticeboltzmann.c:631-633)."""
+        _, ux, uy = xla_ops.macroscopic(self.f)
+        return np.asarray(ux * ux + uy * uy)
+
+    def reynolds(self) -> float:
+        return float(xla_ops.reynolds(self.f, self.walls, self.cfg))
+
+    @property
+    def mlups(self) -> float:
+        if self.elapsed == 0:
+            return 0.0
+        return self.cfg.sites * self.steps_done / self.elapsed / 1e6

@@ -1,0 +1,91 @@
+"""Sharded (multi-device) engine vs the single-device engine, on the
+8-virtual-CPU-device mesh — the formalized equivalent of the reference's
+empirical MPI validation (SURVEY.md section 4 'Implication for the build').
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+from latticeboltzmann_tpu.models import golden
+from latticeboltzmann_tpu.parallel import sharded
+
+
+@pytest.fixture
+def cfg8():
+    # nx divisible by 8 devices, each shard >= 2 rows
+    return LatticeConfig(nx=32, ny=48, dtype=np.float64)
+
+
+@pytest.fixture
+def walls8(cfg8):
+    w = geometry.channel(cfg8.nx, cfg8.ny)
+    w[10:20, 12:15] = True
+    return w
+
+
+def test_mesh_uses_all_devices():
+    mesh = sharded.make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("backend", ["sharded", "sharded-sync"])
+def test_sharded_matches_unsharded_bitwise(cfg8, walls8, backend):
+    """Row-decomposed run must equal the single-device run bitwise —
+    halo exchange is semantically invisible."""
+    ref = Simulation(cfg8, walls8, backend="xla").run(10).state()
+    out = Simulation(cfg8, walls8, backend=backend).run(10).state()
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_overlap_equals_sync(cfg8, walls8):
+    a = Simulation(cfg8, walls8, backend="sharded").run(7).state()
+    b = Simulation(cfg8, walls8, backend="sharded-sync").run(7).state()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_tracks_golden(cfg8, walls8):
+    """End-to-end: sharded f64 vs the NumPy oracle (ulp-level, jit FMA)."""
+    sim = Simulation(cfg8, walls8, backend="sharded")
+    sim.run(20)
+    ref = golden.run(golden.initial_state(cfg8), walls8, cfg8, 20)
+    np.testing.assert_allclose(sim.state(), ref, rtol=1e-13, atol=1e-18)
+
+
+def test_sharded_f32(cfg8, walls8):
+    cfg = LatticeConfig(nx=cfg8.nx, ny=cfg8.ny, dtype=np.float32)
+    ref = Simulation(cfg, walls8, backend="xla").run(10).state()
+    out = Simulation(cfg, walls8, backend="sharded").run(10).state()
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_small_mesh(cfg8, walls8):
+    """2-device mesh (uneven vs 8) also matches."""
+    mesh = sharded.make_mesh(2)
+    run = sharded.make_backend(mesh)
+    import jax.numpy as jnp
+    from latticeboltzmann_tpu.models.engine import initial_state
+
+    f = jnp.asarray(initial_state(cfg8))
+    out = run(f, jnp.asarray(walls8), cfg8, 6)
+    ref = Simulation(cfg8, walls8, backend="xla").run(6).state()
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_halo_exchange_communicates_across_boundary(cfg8):
+    """A packet crossing a shard boundary must arrive intact: empty box,
+    huge tau (no collision), f2 (+x) packet at the last row of shard 0."""
+    cfg = LatticeConfig(nx=32, ny=48, dtype=np.float64, tau=1e12, accel=0.0)
+    walls = geometry.empty(cfg.nx, cfg.ny)
+    from latticeboltzmann_tpu.models.engine import initial_state
+    import jax.numpy as jnp
+
+    f = initial_state(cfg)
+    shard_rows = cfg.nx // 8
+    f[2, shard_rows - 1, 5] += 1.0  # last row of device 0
+    sim = Simulation(cfg, walls, backend="sharded", f0=f)
+    sim.run(1)
+    out = sim.state()
+    # the packet moved +x into device 1's first row
+    assert out[2, shard_rows, 5] > 1.0
