@@ -30,6 +30,20 @@ def register_backend(name: str, run_steps: Callable) -> None:
 register_backend("xla", xla_ops.run_steps)
 
 
+def _register_pallas():
+    from ..ops import fused_kernel
+
+    register_backend("pallas", fused_kernel.run_steps)
+    # interpreter-mode variant for CPU correctness tests
+    register_backend(
+        "pallas-interpret",
+        lambda f, w, cfg, n: fused_kernel.run_steps(f, w, cfg, n, interpret=True),
+    )
+
+
+_register_pallas()
+
+
 def _register_sharded():
     from ..parallel import sharded
 

@@ -1,0 +1,341 @@
+"""Fused Pallas collide-stream kernel — the performance path.
+
+One kernel pass per timestep does everything the reference's
+ApplySource + StreamCollide(+Vec) pair does (src/latticeboltzmann.c:
+186-518): channel forcing, pull-scheme streaming with periodic wrap,
+BGK collision, and masked bounce-back — reading each distribution plane
+from HBM exactly once and writing it exactly once. This is the TPU
+answer to the reference's fused single-pass AVX kernel: where the C
+code tiles the y axis into VECWIDTH-wide SIMD registers with a padded
+row stride (NYPADDED, src/latticeboltzmann.c:69-76), we tile rows onto
+the 8x128 VPU with the y axis padded to the 128-lane boundary, and
+where it splits rows across OpenMP threads, we run a sequential Pallas
+grid over row blocks with manually double-buffered HBM->VMEM DMA so the
+next block's loads overlap the current block's compute (the TPU version
+of its software prefetch, src/latticeboltzmann.c:350-358).
+
+Layout: f is (9, NX, NYP) float32/bfloat16, NYP = NY rounded up to 128
+lanes. The periodic y wrap is done in-VMEM with a lane roll plus an
+edge-column fix at the true NY boundary (padding lanes are treated as
+wall sites and never feed real sites). The x wrap is done by the halo
+DMAs (each block stages rows [r0-1, r0+BR] with wrapped row indices).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.spec import E, NSPEEDS, OPPOSITE, W, LatticeConfig
+
+LANE = 128
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pick_block_rows(nx: int) -> int:
+    """Largest multiple-of-8 block-row count <= 32 that divides NX."""
+    for br in (32, 24, 16, 8):
+        if nx % br == 0:
+            return br
+    return 0  # caller falls back to the XLA path
+
+
+def _roll_y_periodic(plane, ey: int, ny: int):
+    """Circular shift by ey in {+1,-1} along the lane axis with the wrap
+    at the *true* column count ny (not the padded lane count): the VMEM
+    equivalent of the reference's y_r/y_l wrapped gather indices
+    (src/latticeboltzmann.c:233-234)."""
+    rows = plane.shape[0]
+    nyp = plane.shape[1]
+    rolled = pltpu.roll(plane, ey % nyp, axis=1)  # pltpu.roll wants shift >= 0
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nyp), 1)
+    if ey == 1:
+        # out[:, 0] must be in[:, ny-1] (wrap), not in[:, nyp-1] (padding)
+        return jnp.where(lane_idx == 0, plane[:, ny - 1 : ny], rolled)
+    else:
+        # out[:, ny-1] must be in[:, 0]
+        return jnp.where(lane_idx == ny - 1, plane[:, 0:1], rolled)
+
+
+def _make_kernel(cfg: LatticeConfig, nx: int, nyp: int, br: int, dtype):
+    """Build the kernel body. All shape/physics parameters are baked in
+    as Python constants (the jit-specialization equivalent of the
+    reference's #define block, src/latticeboltzmann.c:36-56)."""
+    ny = cfg.ny
+    n_blocks = nx // br
+
+    one = dtype(1.0)
+    three = dtype(3.0)
+    threeotwo = dtype(1.5)
+    half = dtype(0.5)
+    icsq = dtype(1.0 / cfg.csq)
+    itau = dtype(1.0 / cfg.tau)
+    w = [dtype(W[s]) for s in range(NSPEEDS)]
+    a14 = dtype(cfg.accel) * dtype(W[1])
+    a58 = dtype(cfg.accel) * dtype(W[5])
+    zero = dtype(0.0)
+
+    def _rem(a, n: int):
+        # int32-stable modulo (tests run under jax_enable_x64)
+        return jax.lax.rem(jnp.asarray(a, jnp.int32), jnp.int32(n))
+
+    # Halo strategy: the top halo row of block b is the LAST row of body
+    # block b-1 and the bottom halo row is the FIRST row of body block
+    # b+1 — so staging *whole neighbor body blocks* gives every halo for
+    # free, all DMAs stay 8-row tile-aligned (Mosaic requirement), and
+    # halo traffic is ~zero instead of 2 extra rows per block. Four
+    # rotating VMEM slots hold blocks [i-1, i, i+1] plus the in-flight
+    # prefetch of block i+2. Issue index k stages block (k-1) mod G into
+    # slot k mod 4; compute at grid step i consumes issues i, i+1, i+2.
+
+    def kernel(f_hbm, donor_hbm, walls_hbm, out_ref, fbody, wbody, sems):
+        # donor_hbm is never read: it only donates its HBM buffer to the
+        # output (input_output_aliases), so the scan carry ping-pongs two
+        # buffers with zero copies — the XLA-buffer-level equivalent of
+        # the reference's fA/fB pointer swap (src/latticeboltzmann.c:186-210)
+        del donor_hbm
+        i = pl.program_id(0)
+
+        def copies(k):
+            blk = _rem(k + (n_blocks - 1), n_blocks)
+            slot = _rem(k, 4)
+            r0 = blk * jnp.int32(br)
+            return (
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(r0, br), :],
+                    fbody.at[slot],
+                    sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    walls_hbm.at[pl.ds(r0, br), :],
+                    wbody.at[slot],
+                    sems.at[slot, 1],
+                ),
+            )
+
+        def start(k):
+            for c in copies(k):
+                c.start()
+
+        def wait(k):
+            for c in copies(k):
+                c.wait()
+
+        # warm-up at i=0: stage blocks G-1, 0 (issues 0, 1); every step
+        # prefetches issue i+3 (block i+2) while computing block i — the
+        # TPU version of the reference's software prefetch of the next
+        # vector block (src/latticeboltzmann.c:350-358)
+        @pl.when(i == 0)
+        def _():
+            start(0)
+            start(1)
+            start(2)
+            wait(0)
+            wait(1)
+
+        @pl.when(i + 3 < n_blocks + 2)
+        def _():
+            start(i + 3)
+
+        wait(i + 2)
+
+        s_top = _rem(i, 4)      # holds block i-1: its last row is our top halo
+        s_body = _rem(i + 1, 4)  # block i
+        s_bot = _rem(i + 2, 4)  # block i+1: its first row is our bottom halo
+
+        def forced(planes, wall):
+            """Channel forcing on column j=0 (src/latticeboltzmann.c:
+            489-518), applied to any row set (body or halo rows — halo
+            rows must be post-forcing because boundary outputs pull
+            from them)."""
+            r = planes[0].shape[0]
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (r, nyp), 1) == 0
+            ok = (
+                lane0
+                & jnp.logical_not(wall)
+                & (planes[6] - a58 > zero)
+                & (planes[3] - a14 > zero)
+                & (planes[7] - a58 > zero)
+            )
+            out = list(planes)
+            out[6] = jnp.where(ok, planes[6] - a58, planes[6])
+            out[3] = jnp.where(ok, planes[3] - a14, planes[3])
+            out[7] = jnp.where(ok, planes[7] - a58, planes[7])
+            out[5] = jnp.where(ok, planes[5] + a58, planes[5])
+            out[1] = jnp.where(ok, planes[1] + a14, planes[1])
+            out[8] = jnp.where(ok, planes[8] + a58, planes[8])
+            return out
+
+        wall_c = wbody[s_body] > zero  # (br, nyp)
+        body = forced([fbody[s_body, s] for s in range(NSPEEDS)], wall_c)
+        toprow = forced(
+            [fbody[s_top, s, br - 1 : br] for s in range(NSPEEDS)],
+            wbody[s_top, br - 1 : br] > zero,
+        )
+        botrow = forced(
+            [fbody[s_bot, s, 0:1] for s in range(NSPEEDS)],
+            wbody[s_bot, 0:1] > zero,
+        )
+
+        # ---- pull-scheme streaming (src/latticeboltzmann.c:230-243):
+        # x via halo-row concat, y wrap via lane roll
+        pulled = []
+        for s in range(NSPEEDS):
+            ex, ey = int(E[s, 0]), int(E[s, 1])
+            if ex == 1:
+                col = jnp.concatenate([toprow[s], body[s][:-1]], axis=0)
+            elif ex == -1:
+                col = jnp.concatenate([body[s][1:], botrow[s]], axis=0)
+            else:
+                col = body[s]
+            pulled.append(_roll_y_periodic(col, ey, ny) if ey else col)  # (br, nyp)
+
+        # ---- BGK moments + equilibrium + relaxation
+        # (src/latticeboltzmann.c:258-296, vector form :360-451)
+        density = pulled[0]
+        for s in range(1, NSPEEDS):
+            density = density + pulled[s]
+        inv_rho = one / density
+        u_x = ((pulled[6] + pulled[2]) + pulled[5] - ((pulled[7] + pulled[4]) + pulled[8])) * inv_rho
+        u_y = ((pulled[5] + pulled[1]) + pulled[8] - ((pulled[6] + pulled[3]) + pulled[7])) * inv_rho
+        udotu_term = threeotwo * icsq * (u_x * u_x + u_y * u_y)
+        # directional e_i . u, pre-scaled by 3/c^2 (as the reference's
+        # vector kernel does, src/latticeboltzmann.c:399-409)
+        ux3 = three * icsq * u_x
+        uy3 = three * icsq * u_y
+        eu = [
+            None,
+            uy3,
+            ux3,
+            -uy3,
+            -ux3,
+            ux3 + uy3,
+            ux3 - uy3,
+            -ux3 - uy3,
+            -ux3 + uy3,
+        ]
+        out = []
+        feq0 = w[0] * density * (one - udotu_term)
+        out.append(pulled[0] + itau * (feq0 - pulled[0]))
+        for s in range(1, NSPEEDS):
+            feq = (w[s] * density) * (one + eu[s] + (half * eu[s] * eu[s] - udotu_term))
+            relaxed = pulled[s] + itau * (feq - pulled[s])
+            out.append(relaxed)
+
+        # ---- masked bounce-back (src/latticeboltzmann.c:246-255; wall
+        # f0 passthrough = pulled[0], its own value) and store
+        for s in range(NSPEEDS):
+            out_ref[s, :, :] = jnp.where(wall_c, pulled[int(OPPOSITE[s])], out[s])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def make_step(cfg: LatticeConfig, nx: int, nyp: int, br: int, interpret: bool = False):
+    """Jittable padded-state half-step:
+    (f_src, dst_donor, walls_padded_f32) -> f_new, where f_new reuses
+    dst_donor's HBM buffer in place (input_output_aliases). Call twice
+    per timestep pair with buffer roles swapped — fixed roles per scan
+    iteration keep XLA from inserting carry copies.
+
+    f: (9, nx, nyp); walls: (nx, nyp) float32 0/1 with padding lanes
+    (j >= cfg.ny) marked solid.
+    """
+    dtype = np.dtype(cfg.dtype).type
+    kernel = _make_kernel(cfg, nx, nyp, br, dtype)
+    n_blocks = nx // br
+    itemsize = np.dtype(cfg.dtype).itemsize
+
+    step = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NSPEEDS, nx, nyp), cfg.dtype),
+        grid=(n_blocks,),
+        in_specs=[
+            # pinned to HBM (not ANY): with ANY the compiler may promote
+            # small arrays to VMEM, where dynamic-row DMA slices hit
+            # Mosaic's tile-alignment restriction
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # donor (buffer reuse only)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (NSPEEDS, br, nyp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        input_output_aliases={1: 0},
+        scratch_shapes=[
+            pltpu.VMEM((4, NSPEEDS, br, nyp), cfg.dtype),   # 4 rotating body slots
+            pltpu.VMEM((4, br, nyp), jnp.float32),          # walls slots
+            pltpu.SemaphoreType.DMA((4, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(124 * nx * nyp),
+            bytes_accessed=int((2 * NSPEEDS * itemsize + 4) * nx * nyp),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    return step
+
+
+def pad_state(f, walls, cfg: LatticeConfig):
+    """Embed (9, NX, NY) state into the (9, NX, NYP) padded layout;
+    padding lanes are marked solid and filled with edge values (they
+    never feed real sites — the lane-boundary analog of the reference's
+    NYPADDED stride padding, src/latticeboltzmann.c:69-76)."""
+    nyp = round_up(cfg.ny, LANE)
+    pad = nyp - cfg.ny
+    f_p = jnp.pad(jnp.asarray(f), ((0, 0), (0, 0), (0, pad)), mode="edge")
+    walls_f = jnp.asarray(walls).astype(jnp.float32)
+    walls_p = jnp.pad(walls_f, ((0, 0), (0, pad)), mode="constant", constant_values=1.0)
+    return f_p, walls_p
+
+
+def run_steps(f, walls, cfg: LatticeConfig, n_steps: int, *, interpret: bool = False):
+    """Simulation-backend adapter: unpadded in, unpadded out.
+
+    The scan body advances TWO steps (A->B then B->A) with fixed buffer
+    roles, exactly the reference's DoTimeStep structure
+    (src/latticeboltzmann.c:186-210) — here it keeps XLA's while-loop
+    buffer assignment stable so the aliased pallas outputs stay
+    zero-copy. An odd trailing step runs after the scan.
+    """
+    nx = f.shape[1]
+    br = pick_block_rows(nx)
+    if br == 0:
+        from . import stream_collide
+
+        return stream_collide.run_steps(f, walls, cfg, n_steps)
+    nyp = round_up(cfg.ny, LANE)
+    f_p, walls_p = pad_state(f, walls, cfg)
+    step = make_step(cfg, nx, nyp, br, interpret)
+
+    @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+    def loop(f_p, walls_p, n):
+        scratch = jnp.zeros_like(f_p)
+
+        def body(carry, _):
+            a, b = carry
+            b = step(a, b, walls_p)
+            a = step(b, a, walls_p)
+            return (a, b), None
+
+        (a, b), _ = jax.lax.scan(body, (f_p, scratch), length=n // 2)
+        if n % 2:
+            b = step(a, b, walls_p)
+            return b
+        return a
+
+    out = loop(f_p, walls_p, n_steps)
+    return out[:, :, : cfg.ny]

@@ -1,0 +1,109 @@
+"""Fused Pallas kernel vs the XLA engine and the golden oracle, run in
+Pallas interpreter mode on CPU (the compiled kernel itself is exercised
+on real TPU by bench.py). Covers: padded-lane layout (NY not a lane
+multiple), periodic wrap in both axes, walls/bounce-back, forcing, and
+the scalar-cleanup-free remainder handling.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+from latticeboltzmann_tpu.models import golden
+from latticeboltzmann_tpu.models.engine import initial_state
+from latticeboltzmann_tpu.ops import fused_kernel as fk
+
+
+def _run_pallas(cfg, walls, n):
+    f0 = jnp.asarray(initial_state(cfg))
+    out = fk.run_steps(f0, jnp.asarray(walls), cfg, n, interpret=True)
+    return np.asarray(out)
+
+
+def _run_golden64(cfg, walls, n):
+    cfg64 = LatticeConfig(
+        nx=cfg.nx, ny=cfg.ny, tau=cfg.tau, accel=cfg.accel,
+        initial_density=cfg.initial_density, dtype=np.float64,
+    )
+    return golden.run(golden.initial_state(cfg64), walls, cfg64, n)
+
+
+def test_pallas_matches_golden_padded_ny():
+    """NY=40 pads to 128 lanes: wrap fixes at the true boundary."""
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    walls[5:9, 10:13] = True
+    out = _run_pallas(cfg, walls, 3)
+    ref = _run_golden64(cfg, walls, 3)
+    assert out.shape == (9, 16, 40)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
+
+
+def test_pallas_matches_golden_lane_multiple():
+    """NY=128 exactly: no padding path."""
+    cfg = LatticeConfig(nx=16, ny=128, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    out = _run_pallas(cfg, walls, 3)
+    ref = _run_golden64(cfg, walls, 3)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
+
+
+def test_pallas_periodic_wrap_empty_box():
+    """Empty periodic box: x and y wraps both exercised; equilibrium
+    stays a fixed point."""
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32, accel=0.0)
+    walls = geometry.empty(cfg.nx, cfg.ny)
+    out = _run_pallas(cfg, walls, 4)
+    ref = np.asarray(initial_state(cfg))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-8)
+
+
+def test_pallas_packet_wraps_both_axes():
+    """Advect a pure packet across both periodic boundaries (tau huge =
+    no collision): checks x halo DMAs and the y lane-roll edge fix."""
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32, tau=1e9, accel=0.0)
+    walls = geometry.empty(cfg.nx, cfg.ny)
+    f0 = initial_state(cfg)
+    f0[5, cfg.nx - 1, cfg.ny - 1] += 1.0  # +x+y packet at the far corner
+    out = fk.run_steps(jnp.asarray(f0), jnp.asarray(walls), cfg, 1, interpret=True)
+    out = np.asarray(out)
+    assert out[5, 0, 0] > 1.0  # wrapped in both axes
+
+
+def test_pallas_multi_step_vs_xla():
+    """20 steps: pallas f32 vs XLA f32 track each other closely."""
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    walls[5:9, 10:13] = True
+    out = _run_pallas(cfg, walls, 20)
+    ref = Simulation(cfg, walls, backend="xla").run(20).state()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-7)
+
+
+def test_pallas_backend_registered():
+    from latticeboltzmann_tpu import available_backends
+
+    assert "pallas" in available_backends()
+    assert "pallas-interpret" in available_backends()
+
+
+def test_pallas_fallback_odd_nx():
+    """NX not divisible by any block size falls back to the XLA path."""
+    cfg = LatticeConfig(nx=13, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    sim = Simulation(cfg, walls, backend="pallas-interpret")
+    sim.run(2)
+    ref = Simulation(cfg, walls, backend="xla").run(2).state()
+    np.testing.assert_allclose(sim.state(), ref, rtol=1e-6, atol=1e-9)
+
+
+def test_pallas_invariants():
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    out = _run_pallas(cfg, walls, 30)
+    assert np.isfinite(out).all()
+    assert (out >= 0).all()
+    # mass conservation (forcing conserves mass)
+    ref = np.asarray(initial_state(cfg))
+    np.testing.assert_allclose(out.sum(), ref.sum(), rtol=1e-4)
