@@ -1,0 +1,149 @@
+"""Command-line runner — the reference's main() as a real CLI.
+
+Every compile-time #define of the reference (src/latticeboltzmann.c:
+36-65: NX, NY, TAU, CSQ, NTIMESTEPS, PRINTSTATSEVERY, SAVELATTICE[EVERY],
+ACCEL, INITIALDENSITY, precision-header choice) is a runtime flag here;
+jit specialization on the frozen LatticeConfig recovers the
+compile-time-constant performance. Extras over the reference:
+checkpoint/resume, backend selection, movie rendering, and profiler
+traces.
+
+Usage:
+    python -m latticeboltzmann_tpu [--nx 400 --ny 2000 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+PRECISIONS = {"f32": np.float32, "f64": np.float64, "bf16": "bfloat16"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="latticeboltzmann_tpu",
+        description="TPU-native D2Q9 lattice-Boltzmann (BGK) channel flow",
+    )
+    p.add_argument("--nx", type=int, default=400)
+    p.add_argument("--ny", type=int, default=2000)
+    p.add_argument("--tau", type=float, default=0.7)
+    p.add_argument("--csq", type=float, default=1.0)
+    p.add_argument("--accel", type=float, default=0.005)
+    p.add_argument("--density", type=float, default=0.1)
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--precision", choices=sorted(PRECISIONS), default="f32")
+    p.add_argument("--backend", default="auto",
+                   help="auto|xla|pallas|sharded|sharded-sync|pallas-interpret")
+    p.add_argument("--geometry", default="barrier",
+                   help="empty|channel|barrier|reference|cylinder")
+    p.add_argument("--print-stats-every", type=int, default=1000)
+    p.add_argument("--save-lattice-every", type=int, default=0,
+                   help="snapshot |u|^2 CSV every N steps (0 = off)")
+    p.add_argument("--snapshot-dir", default="data")
+    p.add_argument("--movie", default=None,
+                   help="render snapshots to this gif after the run")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--resume", default=None,
+                   help="path to a .lbmckpt directory (or 'latest')")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the run here")
+    return p
+
+
+def resolve_backend(name: str) -> str:
+    if name != "auto":
+        return name
+    import jax
+
+    from .models.engine import available_backends
+
+    if jax.default_backend() == "tpu" and "pallas" in available_backends():
+        return "pallas"
+    return "xla"
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from . import geometry
+    from .core.spec import LatticeConfig
+    from .models.engine import Simulation
+    from .utils import checkpoint, stats, viz
+
+    if args.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = PRECISIONS[args.precision]
+    if dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
+
+    start_step = 0
+    if args.resume:
+        path = args.resume
+        if path == "latest":
+            path = checkpoint.latest(args.checkpoint_dir)
+            if path is None:
+                print(f"no checkpoint found in {args.checkpoint_dir}", file=sys.stderr)
+                return 2
+        start_step, f0, walls, cfg = checkpoint.load(path)
+        print(f"resumed from {path} at step {start_step}")
+        sim = Simulation(cfg, walls, backend=resolve_backend(args.backend), f0=f0)
+    else:
+        cfg = LatticeConfig(
+            nx=args.nx, ny=args.ny, tau=args.tau, csq=args.csq,
+            accel=args.accel, initial_density=args.density, dtype=dtype,
+        )
+        walls = geometry.build(args.geometry, cfg.nx, cfg.ny)
+        sim = Simulation(cfg, walls, backend=resolve_backend(args.backend))
+
+    mb = cfg.nx * cfg.ny * 9 * np.dtype(np.float32 if dtype == "bfloat16" else dtype).itemsize / 1024 / 1024
+    print(f"Lattice Size: {cfg.nx}x{cfg.ny} ({mb:.2f} MB) "
+          f"backend={sim.backend} precision={args.precision}")
+
+    profile_cm = None
+    if args.profile_dir:
+        profile_cm = jax.profiler.trace(args.profile_dir)
+        profile_cm.__enter__()
+
+    reporter = stats.RunStats(cfg, total_steps=args.steps)
+    # chunked run: stats/snapshots/checkpoints between on-device scans —
+    # the loop structure of main() (src/latticeboltzmann.c:148-164)
+    events = sorted({e for e in (args.print_stats_every, args.save_lattice_every,
+                                 args.checkpoint_every) if e} | {args.steps})
+    chunk = min(events) if events else args.steps
+    step = start_step
+    t0 = time.perf_counter()
+    while step < start_step + args.steps:
+        n = min(chunk, start_step + args.steps - step)
+        sim.run(n)
+        step += n
+        if args.print_stats_every and step % args.print_stats_every == 0:
+            reporter.report(step - start_step)
+        if args.save_lattice_every and step % args.save_lattice_every == 0:
+            viz.save_snapshot(args.snapshot_dir, step, sim.f)
+        if args.checkpoint_every and step % args.checkpoint_every == 0:
+            checkpoint.save(args.checkpoint_dir, step, sim.state(), sim.walls_np, cfg)
+
+    runtime = time.perf_counter() - t0
+    if profile_cm:
+        profile_cm.__exit__(None, None, None)
+
+    stats.final_report(cfg, runtime, sim.reynolds())
+    print(f"MLUPS: {sim.mlups:.1f}")
+
+    if args.movie:
+        out = viz.render_movie(args.snapshot_dir, args.movie)
+        print(f"movie written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

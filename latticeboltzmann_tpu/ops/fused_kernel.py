@@ -65,12 +65,22 @@ def _roll_y_periodic(plane, ey: int, ny: int):
         return jnp.where(lane_idx == ny - 1, plane[:, 0:1], rolled)
 
 
-def _make_kernel(cfg: LatticeConfig, nx: int, nyp: int, br: int, dtype):
+def _make_kernel(cfg: LatticeConfig, nx: int, nyp: int, br: int, dtype, temporal: int = 1):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
-    reference's #define block, src/latticeboltzmann.c:36-56)."""
+    reference's #define block, src/latticeboltzmann.c:36-56).
+
+    temporal=T fuses T timesteps into one HBM pass (temporal blocking):
+    the block stages rows [r0-T, r0+br+T) and advances them T steps
+    entirely in VMEM, shrinking the valid window by one row per side per
+    step — HBM traffic per site-step drops by ~T. The math per site is
+    identical to T applications of the single-step kernel, so results
+    are bitwise equal to temporal=1."""
     ny = cfg.ny
     n_blocks = nx // br
+    T = temporal
+    if not (1 <= T <= br):
+        raise ValueError(f"temporal={T} must be in [1, {br}]")
 
     one = dtype(1.0)
     three = dtype(3.0)
@@ -174,72 +184,84 @@ def _make_kernel(cfg: LatticeConfig, nx: int, nyp: int, br: int, dtype):
             out[8] = jnp.where(ok, planes[8] + a58, planes[8])
             return out
 
-        wall_c = wbody[s_body] > zero  # (br, nyp)
-        body = forced([fbody[s_body, s] for s in range(NSPEEDS)], wall_c)
-        toprow = forced(
-            [fbody[s_top, s, br - 1 : br] for s in range(NSPEEDS)],
-            wbody[s_top, br - 1 : br] > zero,
-        )
-        botrow = forced(
-            [fbody[s_bot, s, 0:1] for s in range(NSPEEDS)],
-            wbody[s_bot, 0:1] > zero,
-        )
+        def stream_collide_window(f, wall):
+            """One fused step on an R-row window: returns the R-2 valid
+            interior rows (pull-scheme gather per
+            src/latticeboltzmann.c:230-243, BGK per :258-296, masked
+            bounce-back per :246-255; wall f0 passthrough = own value)."""
+            R = f[0].shape[0]
+            pulled = []
+            for s in range(NSPEEDS):
+                ex, ey = int(E[s, 0]), int(E[s, 1])
+                col = f[s][1 - ex : R - 1 - ex]  # (R-2, nyp)
+                pulled.append(_roll_y_periodic(col, ey, ny) if ey else col)
 
-        # ---- pull-scheme streaming (src/latticeboltzmann.c:230-243):
-        # x via halo-row concat, y wrap via lane roll
-        pulled = []
-        for s in range(NSPEEDS):
-            ex, ey = int(E[s, 0]), int(E[s, 1])
-            if ex == 1:
-                col = jnp.concatenate([toprow[s], body[s][:-1]], axis=0)
-            elif ex == -1:
-                col = jnp.concatenate([body[s][1:], botrow[s]], axis=0)
-            else:
-                col = body[s]
-            pulled.append(_roll_y_periodic(col, ey, ny) if ey else col)  # (br, nyp)
+            density = pulled[0]
+            for s in range(1, NSPEEDS):
+                density = density + pulled[s]
+            inv_rho = one / density
+            u_x = ((pulled[6] + pulled[2]) + pulled[5]
+                   - ((pulled[7] + pulled[4]) + pulled[8])) * inv_rho
+            u_y = ((pulled[5] + pulled[1]) + pulled[8]
+                   - ((pulled[6] + pulled[3]) + pulled[7])) * inv_rho
+            udotu_term = threeotwo * icsq * (u_x * u_x + u_y * u_y)
+            # directional e_i . u, pre-scaled by 3/c^2 (as the reference's
+            # vector kernel does, src/latticeboltzmann.c:399-409)
+            ux3 = three * icsq * u_x
+            uy3 = three * icsq * u_y
+            eu = [None, uy3, ux3, -uy3, -ux3,
+                  ux3 + uy3, ux3 - uy3, -ux3 - uy3, -ux3 + uy3]
+            out = []
+            feq0 = w[0] * density * (one - udotu_term)
+            out.append(pulled[0] + itau * (feq0 - pulled[0]))
+            for s in range(1, NSPEEDS):
+                feq = (w[s] * density) * (one + eu[s] + (half * eu[s] * eu[s] - udotu_term))
+                out.append(pulled[s] + itau * (feq - pulled[s]))
 
-        # ---- BGK moments + equilibrium + relaxation
-        # (src/latticeboltzmann.c:258-296, vector form :360-451)
-        density = pulled[0]
-        for s in range(1, NSPEEDS):
-            density = density + pulled[s]
-        inv_rho = one / density
-        u_x = ((pulled[6] + pulled[2]) + pulled[5] - ((pulled[7] + pulled[4]) + pulled[8])) * inv_rho
-        u_y = ((pulled[5] + pulled[1]) + pulled[8] - ((pulled[6] + pulled[3]) + pulled[7])) * inv_rho
-        udotu_term = threeotwo * icsq * (u_x * u_x + u_y * u_y)
-        # directional e_i . u, pre-scaled by 3/c^2 (as the reference's
-        # vector kernel does, src/latticeboltzmann.c:399-409)
-        ux3 = three * icsq * u_x
-        uy3 = three * icsq * u_y
-        eu = [
-            None,
-            uy3,
-            ux3,
-            -uy3,
-            -ux3,
-            ux3 + uy3,
-            ux3 - uy3,
-            -ux3 - uy3,
-            -ux3 + uy3,
+            wall_c = wall[1 : R - 1]
+            return [
+                jnp.where(wall_c, pulled[int(OPPOSITE[s])], out[s])
+                for s in range(NSPEEDS)
+            ]
+
+        # assemble the extended window: rows [r0-T, r0+br+T) from the
+        # three resident blocks
+        f = [
+            jnp.concatenate(
+                [fbody[s_top, s, br - T :], fbody[s_body, s], fbody[s_bot, s, :T]],
+                axis=0,
+            )
+            for s in range(NSPEEDS)
         ]
-        out = []
-        feq0 = w[0] * density * (one - udotu_term)
-        out.append(pulled[0] + itau * (feq0 - pulled[0]))
-        for s in range(1, NSPEEDS):
-            feq = (w[s] * density) * (one + eu[s] + (half * eu[s] * eu[s] - udotu_term))
-            relaxed = pulled[s] + itau * (feq - pulled[s])
-            out.append(relaxed)
+        wall = (
+            jnp.concatenate(
+                [wbody[s_top, br - T :], wbody[s_body], wbody[s_bot, :T]], axis=0
+            )
+            > zero
+        )
 
-        # ---- masked bounce-back (src/latticeboltzmann.c:246-255; wall
-        # f0 passthrough = pulled[0], its own value) and store
+        # advance T steps in VMEM, trimming one invalid row per side per
+        # step (forcing precedes every step: src/latticeboltzmann.c:192,201)
+        for _ in range(T):
+            f = forced(f, wall)
+            f = stream_collide_window(f, wall)
+            wall = wall[1:-1]
+
         for s in range(NSPEEDS):
-            out_ref[s, :, :] = jnp.where(wall_c, pulled[int(OPPOSITE[s])], out[s])
+            out_ref[s, :, :] = f[s]
 
     return kernel
 
 
 @functools.lru_cache(maxsize=64)
-def make_step(cfg: LatticeConfig, nx: int, nyp: int, br: int, interpret: bool = False):
+def make_step(
+    cfg: LatticeConfig,
+    nx: int,
+    nyp: int,
+    br: int,
+    interpret: bool = False,
+    temporal: int = 1,
+):
     """Jittable padded-state half-step:
     (f_src, dst_donor, walls_padded_f32) -> f_new, where f_new reuses
     dst_donor's HBM buffer in place (input_output_aliases). Call twice
@@ -250,7 +272,7 @@ def make_step(cfg: LatticeConfig, nx: int, nyp: int, br: int, interpret: bool = 
     (j >= cfg.ny) marked solid.
     """
     dtype = np.dtype(cfg.dtype).type
-    kernel = _make_kernel(cfg, nx, nyp, br, dtype)
+    kernel = _make_kernel(cfg, nx, nyp, br, dtype, temporal)
     n_blocks = nx // br
     itemsize = np.dtype(cfg.dtype).itemsize
 
@@ -277,9 +299,12 @@ def make_step(cfg: LatticeConfig, nx: int, nyp: int, br: int, interpret: bool = 
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # raise the default 16MB scoped-vmem cap so larger row blocks
+            # and deeper temporal windows fit (v5e has 128MB VMEM)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(124 * nx * nyp),
+            flops=int(124 * nx * nyp * temporal),
             bytes_accessed=int((2 * NSPEEDS * itemsize + 4) * nx * nyp),
             transcendentals=0,
         ),
@@ -302,14 +327,26 @@ def pad_state(f, walls, cfg: LatticeConfig):
     return f_p, walls_p
 
 
-def run_steps(f, walls, cfg: LatticeConfig, n_steps: int, *, interpret: bool = False):
+DEFAULT_TEMPORAL = 2
+
+
+def run_steps(
+    f,
+    walls,
+    cfg: LatticeConfig,
+    n_steps: int,
+    *,
+    interpret: bool = False,
+    temporal: int | None = None,
+):
     """Simulation-backend adapter: unpadded in, unpadded out.
 
-    The scan body advances TWO steps (A->B then B->A) with fixed buffer
-    roles, exactly the reference's DoTimeStep structure
-    (src/latticeboltzmann.c:186-210) — here it keeps XLA's while-loop
-    buffer assignment stable so the aliased pallas outputs stay
-    zero-copy. An odd trailing step runs after the scan.
+    The scan body advances two kernel passes (A->B then B->A, each
+    `temporal` timesteps) with fixed buffer roles, exactly the
+    reference's DoTimeStep structure (src/latticeboltzmann.c:186-210) —
+    here it keeps XLA's while-loop buffer assignment stable so the
+    aliased pallas outputs stay zero-copy. Remainder steps run as
+    single-step passes after the scan.
     """
     nx = f.shape[1]
     br = pick_block_rows(nx)
@@ -317,9 +354,12 @@ def run_steps(f, walls, cfg: LatticeConfig, n_steps: int, *, interpret: bool = F
         from . import stream_collide
 
         return stream_collide.run_steps(f, walls, cfg, n_steps)
+    if temporal is None:
+        temporal = min(DEFAULT_TEMPORAL, br)
     nyp = round_up(cfg.ny, LANE)
     f_p, walls_p = pad_state(f, walls, cfg)
-    step = make_step(cfg, nx, nyp, br, interpret)
+    stepT = make_step(cfg, nx, nyp, br, interpret, temporal)
+    step1 = stepT if temporal == 1 else make_step(cfg, nx, nyp, br, interpret, 1)
 
     @functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
     def loop(f_p, walls_p, n):
@@ -327,14 +367,13 @@ def run_steps(f, walls, cfg: LatticeConfig, n_steps: int, *, interpret: bool = F
 
         def body(carry, _):
             a, b = carry
-            b = step(a, b, walls_p)
-            a = step(b, a, walls_p)
+            b = stepT(a, b, walls_p)
+            a = stepT(b, a, walls_p)
             return (a, b), None
 
-        (a, b), _ = jax.lax.scan(body, (f_p, scratch), length=n // 2)
-        if n % 2:
-            b = step(a, b, walls_p)
-            return b
+        (a, b), _ = jax.lax.scan(body, (f_p, scratch), length=n // (2 * temporal))
+        for _ in range(n % (2 * temporal)):
+            a, b = step1(a, b, walls_p), a
         return a
 
     out = loop(f_p, walls_p, n_steps)

@@ -107,3 +107,33 @@ def test_pallas_invariants():
     # mass conservation (forcing conserves mass)
     ref = np.asarray(initial_state(cfg))
     np.testing.assert_allclose(out.sum(), ref.sum(), rtol=1e-4)
+
+
+@pytest.mark.parametrize("temporal", [2, 3])
+def test_temporal_blocking_equals_single_step(temporal):
+    """T-step temporal blocking performs the identical per-site math —
+    agreement with T=1 up to compiler FMA-contraction noise (window
+    shapes differ, so XLA fuses differently)."""
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    walls[5:9, 10:13] = True
+    f0 = jnp.asarray(initial_state(cfg))
+    w = jnp.asarray(walls)
+    ref = np.asarray(fk.run_steps(f0, w, cfg, 12, interpret=True, temporal=1))
+    out = np.asarray(
+        fk.run_steps(jnp.asarray(initial_state(cfg)), w, cfg, 12, interpret=True, temporal=temporal)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_temporal_blocking_odd_remainder():
+    """Step counts not divisible by 2T exercise the single-step tail."""
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    f0 = jnp.asarray(initial_state(cfg))
+    w = jnp.asarray(walls)
+    ref = np.asarray(fk.run_steps(f0, w, cfg, 7, interpret=True, temporal=1))
+    out = np.asarray(
+        fk.run_steps(jnp.asarray(initial_state(cfg)), w, cfg, 7, interpret=True, temporal=2)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-7)

@@ -1,0 +1,131 @@
+"""Diagnostics, snapshot/viz, native IO, checkpoint/resume, and CLI."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+from latticeboltzmann_tpu.models import golden
+from latticeboltzmann_tpu.utils import checkpoint, native, stats, viz
+
+
+def test_native_builds_and_writes_csv(tmp_path):
+    data = np.arange(12, dtype=np.float64).reshape(3, 4) / 7
+    p = tmp_path / "t.csv"
+    native.write_csv(str(p), data)
+    back = np.loadtxt(p, delimiter=",")
+    np.testing.assert_allclose(back, data, atol=5e-11)  # %.10f rounding
+    # layout parity with the reference dump: ', ' separator, %.10f
+    first = p.read_text().splitlines()[0]
+    assert first == ", ".join(f"{v:.10f}" for v in data[0])
+
+
+def test_native_raw_roundtrip(tmp_path):
+    x = np.random.default_rng(0).normal(size=(9, 8, 16)).astype(np.float32)
+    native.write_raw(str(tmp_path / "x.raw"), x)
+    y = native.read_raw(str(tmp_path / "x.raw"), x.shape, x.dtype)
+    np.testing.assert_array_equal(x, y)
+
+
+def test_speed_squared_matches_golden(small_cfg, small_walls):
+    sim = Simulation(small_cfg, small_walls, backend="xla").run(10)
+    usq = np.asarray(viz.speed_squared(sim.f))
+    g = golden.run(golden.initial_state(small_cfg), small_walls, small_cfg, 10)
+    _, ux, uy = golden.macroscopic(g)
+    np.testing.assert_allclose(usq, ux * ux + uy * uy, rtol=1e-10, atol=1e-18)
+
+
+def test_snapshot_roundtrip(tmp_path, small_cfg, small_walls):
+    sim = Simulation(small_cfg, small_walls, backend="xla").run(4)
+    path = viz.save_snapshot(tmp_path, 4, sim.f)
+    assert path.name == "4.csv"
+    grid = np.loadtxt(path, delimiter=",")
+    assert grid.shape == (small_cfg.nx, small_cfg.ny)
+    assert np.isfinite(grid).all()
+
+
+def test_render_frame_and_movie(tmp_path, small_cfg, small_walls):
+    sim = Simulation(small_cfg, small_walls, backend="xla")
+    for n in (2, 4):
+        sim.run(2)
+        viz.save_snapshot(tmp_path / "data", n, sim.f)
+    out = viz.render_movie(tmp_path / "data", tmp_path / "flow.gif", fps=2)
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_checkpoint_resume_bitwise(tmp_path, small_cfg, small_walls):
+    """Resume must continue bit-for-bit: run 20 == run 10 + resume 10."""
+    full = Simulation(small_cfg, small_walls, backend="xla").run(20).state()
+
+    first = Simulation(small_cfg, small_walls, backend="xla").run(10)
+    d = checkpoint.save(tmp_path, 10, first.state(), small_walls, small_cfg)
+    step, f0, walls, cfg = checkpoint.load(d)
+    assert step == 10
+    resumed = Simulation(cfg, walls, backend="xla", f0=f0).run(10).state()
+    np.testing.assert_array_equal(resumed, full)
+
+
+def test_checkpoint_latest(tmp_path, small_cfg, small_walls):
+    f = golden.initial_state(small_cfg)
+    checkpoint.save(tmp_path, 5, f, small_walls, small_cfg)
+    checkpoint.save(tmp_path, 15, f, small_walls, small_cfg)
+    assert checkpoint.latest(tmp_path).name == "15.lbmckpt"
+    assert checkpoint.latest(tmp_path / "nope") is None
+
+
+def test_stats_reporter(capsys, small_cfg):
+    r = stats.RunStats(small_cfg, total_steps=100)
+    r.start_time -= 1.0  # pretend 1s elapsed
+    line = r.report(50)
+    assert "50.00%" in line and "MLUPS" in line and "GB/s" in line
+    final = stats.final_report(small_cfg, 1.5, 1.23456789e-2)
+    assert final.startswith("Runtime: 1.5") and "Re 1.2345678900e-02" in final
+
+
+def test_cli_end_to_end(tmp_path):
+    """Full CLI run on CPU: stats lines, snapshots, checkpoint, final Re."""
+    code = subprocess.run(
+        [
+            sys.executable, "-m", "latticeboltzmann_tpu",
+            "--nx", "24", "--ny", "40", "--steps", "20",
+            "--backend", "xla", "--print-stats-every", "10",
+            "--save-lattice-every", "10",
+            "--snapshot-dir", str(tmp_path / "data"),
+            "--checkpoint-every", "20",
+            "--checkpoint-dir", str(tmp_path / "ck"),
+        ],
+        capture_output=True,
+        text=True,
+        env={
+            "PATH": "/usr/bin:/bin:/usr/local/bin",
+            "JAX_PLATFORMS": "cpu",
+            "HOME": "/root",
+        },
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert code.returncode == 0, code.stderr[-2000:]
+    assert "Runtime:" in code.stdout and "Re " in code.stdout
+    assert (tmp_path / "data" / "10.csv").exists()
+    assert (tmp_path / "data" / "20.csv").exists()
+    assert (tmp_path / "ck" / "20.lbmckpt" / "f.raw").exists()
+
+
+def test_cli_resume(tmp_path):
+    env = {"PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+    base = [
+        sys.executable, "-m", "latticeboltzmann_tpu",
+        "--nx", "16", "--ny", "32", "--backend", "xla",
+        "--print-stats-every", "0",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+    ]
+    r1 = subprocess.run(base + ["--steps", "10", "--checkpoint-every", "10"],
+                        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(base + ["--steps", "10", "--resume", "latest"],
+                        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from" in r2.stdout
