@@ -51,6 +51,10 @@ def _register_sharded():
     # synchronous exchange-then-compute mode (its baseline mode)
     register_backend("sharded", sharded.make_backend(overlap=True))
     register_backend("sharded-sync", sharded.make_backend(overlap=False))
+    # production multi-chip path: fused Pallas kernel per device + ICI
+    # ppermute halo exchange
+    register_backend("sharded-pallas", sharded.make_pallas_backend())
+    register_backend("sharded-pallas-interpret", sharded.make_pallas_backend(interpret=True))
 
 
 _register_sharded()

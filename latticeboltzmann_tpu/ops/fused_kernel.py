@@ -69,7 +69,15 @@ def _roll_y_periodic(plane, ey: int, ny: int):
         return jnp.where(lane_idx == ny - 1, plane[:, 0:1], rolled)
 
 
-def _make_kernel(cfg: LatticeConfig, nx: int, nyp: int, br: int, dtype, temporal: int = 1):
+def _make_kernel(
+    cfg: LatticeConfig,
+    nx: int,
+    nyp: int,
+    br: int,
+    dtype,
+    temporal: int = 1,
+    external_halo: bool = False,
+):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
     reference's #define block, src/latticeboltzmann.c:36-56).
@@ -79,12 +87,27 @@ def _make_kernel(cfg: LatticeConfig, nx: int, nyp: int, br: int, dtype, temporal
     entirely in VMEM, shrinking the valid window by one row per side per
     step — HBM traffic per site-step drops by ~T. The math per site is
     identical to T applications of the single-step kernel, so results
-    are bitwise equal to temporal=1."""
+    are bitwise equal to temporal=1.
+
+    bfloat16 is the experimental mixed-precision mode (the successor of
+    the reference's float/double header parameterization,
+    src/prec_*.h): distributions are *stored* bf16 (halving HBM
+    traffic) while all collision arithmetic runs in float32 in VMEM.
+
+    external_halo=True builds the *sharded local* variant: instead of
+    wrapping the x axis periodically, the kernel takes four extra
+    inputs — T rows of f and walls from each x-neighbor device
+    (delivered by ppermute, the reference's MPI boundary-row exchange,
+    README.md:45) — and patches them into the resident edge slots.
+    """
     ny = cfg.ny
     n_blocks = nx // br
     T = temporal
     if not (1 <= T <= br):
         raise ValueError(f"temporal={T} must be in [1, {br}]")
+    storage = dtype
+    if np.dtype(storage) == np.dtype("bfloat16"):
+        dtype = np.float32  # compute precision
 
     one = dtype(1.0)
     three = dtype(3.0)
@@ -110,16 +133,27 @@ def _make_kernel(cfg: LatticeConfig, nx: int, nyp: int, br: int, dtype, temporal
     # prefetch of block i+2. Issue index k stages block (k-1) mod G into
     # slot k mod 4; compute at grid step i consumes issues i, i+1, i+2.
 
-    def kernel(f_hbm, donor_hbm, walls_hbm, out_ref, fbody, wbody, sems):
+    def kernel(f_hbm, donor_hbm, walls_hbm, *rest):
         # donor_hbm is never read: it only donates its HBM buffer to the
         # output (input_output_aliases), so the scan carry ping-pongs two
         # buffers with zero copies — the XLA-buffer-level equivalent of
         # the reference's fA/fB pointer swap (src/latticeboltzmann.c:186-210)
         del donor_hbm
+        if external_halo:
+            htop, hbot, whtop, whbot, out_ref, fbody, wbody, sems = rest
+        else:
+            out_ref, fbody, wbody, sems = rest
         i = pl.program_id(0)
 
         def copies(k):
-            blk = _rem(k + (n_blocks - 1), n_blocks)
+            if external_halo:
+                # no x wrap: edge issues stage a clamped block whose halo
+                # rows get patched from the neighbor-device inputs below
+                blk = jnp.clip(
+                    jnp.asarray(k, jnp.int32) - 1, 0, jnp.int32(n_blocks - 1)
+                )
+            else:
+                blk = _rem(k + (n_blocks - 1), n_blocks)
             slot = _rem(k, 4)
             r0 = blk * jnp.int32(br)
             return (
@@ -160,6 +194,24 @@ def _make_kernel(cfg: LatticeConfig, nx: int, nyp: int, br: int, dtype, temporal
             start(i + 3)
 
         wait(i + 2)
+
+        if external_halo:
+            # patch the T neighbor-device rows into the resident edge
+            # slots (the pull stencil only ever reads those T rows from
+            # the edge slots): top halo into issue-0's slot, bottom halo
+            # into issue-(G+1)'s slot
+            @pl.when(i == 0)
+            def _():
+                for s in range(NSPEEDS):
+                    fbody[0, s, br - T :, :] = htop[s]
+                wbody[0, br - T :, :] = whtop[...]
+
+            @pl.when(i == n_blocks - 1)
+            def _():
+                slot_last = (n_blocks + 1) % 4
+                for s in range(NSPEEDS):
+                    fbody[slot_last, s, :T, :] = hbot[s]
+                wbody[slot_last, :T, :] = whbot[...]
 
         s_top = _rem(i, 4)      # holds block i-1: its last row is our top halo
         s_body = _rem(i + 1, 4)  # block i
@@ -229,12 +281,13 @@ def _make_kernel(cfg: LatticeConfig, nx: int, nyp: int, br: int, dtype, temporal
             ]
 
         # assemble the extended window: rows [r0-T, r0+br+T) from the
-        # three resident blocks
+        # three resident blocks (cast up to compute precision if the
+        # storage dtype is bf16)
         f = [
             jnp.concatenate(
                 [fbody[s_top, s, br - T :], fbody[s_body, s], fbody[s_bot, s, :T]],
                 axis=0,
-            )
+            ).astype(dtype)
             for s in range(NSPEEDS)
         ]
         wall = (
@@ -252,7 +305,7 @@ def _make_kernel(cfg: LatticeConfig, nx: int, nyp: int, br: int, dtype, temporal
             wall = wall[1:-1]
 
         for s in range(NSPEEDS):
-            out_ref[s, :, :] = f[s]
+            out_ref[s, :, :] = f[s].astype(storage)
 
     return kernel
 
@@ -265,6 +318,7 @@ def make_step(
     br: int,
     interpret: bool = False,
     temporal: int = 1,
+    external_halo: bool = False,
 ):
     """Jittable padded-state half-step:
     (f_src, dst_donor, walls_padded_f32) -> f_new, where f_new reuses
@@ -276,22 +330,32 @@ def make_step(
     (j >= cfg.ny) marked solid.
     """
     dtype = np.dtype(cfg.dtype).type
-    kernel = _make_kernel(cfg, nx, nyp, br, dtype, temporal)
+    kernel = _make_kernel(cfg, nx, nyp, br, dtype, temporal, external_halo)
     n_blocks = nx // br
     itemsize = np.dtype(cfg.dtype).itemsize
+
+    in_specs = [
+        # pinned to HBM (not ANY): with ANY the compiler may promote
+        # small arrays to VMEM, where dynamic-row DMA slices hit
+        # Mosaic's tile-alignment restriction
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),  # donor (buffer reuse only)
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    if external_halo:
+        T = temporal
+        in_specs += [
+            pl.BlockSpec((NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, nyp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, nyp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
 
     step = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((NSPEEDS, nx, nyp), cfg.dtype),
         grid=(n_blocks,),
-        in_specs=[
-            # pinned to HBM (not ANY): with ANY the compiler may promote
-            # small arrays to VMEM, where dynamic-row DMA slices hit
-            # Mosaic's tile-alignment restriction
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # donor (buffer reuse only)
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (NSPEEDS, br, nyp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
@@ -381,7 +445,10 @@ def run_steps(
     """
     nx = f.shape[1]
     br = pick_block_rows(nx)
-    if br == 0:
+    if br == 0 or np.dtype(cfg.dtype) == np.float64:
+        # odd shapes, and float64 (software-emulated on TPU — a
+        # correctness config, not a perf config; SURVEY.md section 7
+        # 'hard parts') route to the XLA engine
         from . import stream_collide
 
         return stream_collide.run_steps(f, walls, cfg, n_steps)

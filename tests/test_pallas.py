@@ -137,3 +137,34 @@ def test_temporal_blocking_odd_remainder():
         fk.run_steps(jnp.asarray(initial_state(cfg)), w, cfg, 7, interpret=True, temporal=2)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_mixed_precision_tracks_f32():
+    """bf16 storage + f32 collision arithmetic: tracks the f32 run to
+    bf16 resolution (the experimental precision of BASELINE config 5)."""
+    import jax.numpy as jnp2
+
+    cfg16 = LatticeConfig(nx=16, ny=40, dtype=jnp2.bfloat16)
+    cfg32 = LatticeConfig(nx=16, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg16.nx, cfg16.ny)
+    f16 = jnp.asarray(initial_state(cfg16))
+    out16 = np.asarray(
+        fk.run_steps(f16, jnp.asarray(walls), cfg16, 10, interpret=True)
+    ).astype(np.float32)
+    out32 = np.asarray(
+        fk.run_steps(jnp.asarray(initial_state(cfg32)), jnp.asarray(walls), cfg32, 10, interpret=True)
+    )
+    assert np.isfinite(out16).all() and (out16 >= 0).all()
+    np.testing.assert_allclose(out16, out32, rtol=0.05, atol=2e-3)
+
+
+def test_f64_routes_to_xla_engine():
+    """float64 through the pallas backend transparently uses the XLA
+    engine (f64 is a correctness config; TPU emulates it)."""
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float64)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    out = np.asarray(
+        fk.run_steps(jnp.asarray(initial_state(cfg)), jnp.asarray(walls), cfg, 5)
+    )
+    ref = _run_golden64(cfg, walls, 5)
+    np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-18)
