@@ -1,0 +1,142 @@
+"""Benchmark suite — the five BASELINE.json configs, reproducing the
+reference's benchmark-table methodology (README.md:66-90,
+runtimes.dat / mpi-runtimes.dat): end-to-end runtime for N timesteps,
+MLUPS derived as NX*NY*steps/runtime/1e6.
+
+Usage:  python -m latticeboltzmann_tpu.bench_suite [--steps 10000]
+        [--quick] [--out BENCH_RESULTS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+# (name, nx, ny, precision, geometry, backend, baseline_runtime_s, baseline_hw)
+CONFIGS = [
+    ("400x2000 f64 (serial C workload)", 400, 2000, "f64", "reference", "xla",
+     110.31, "i5-2500K AVX 2T (README.md:70)"),
+    ("400x4000 f32 fused kernel", 400, 4000, "f32", "barrier", "pallas",
+     7.49, "AMD R9 280X OpenCL SP (README.md:80)"),
+    ("800x4000 f32 cylinder wake + rho/u extraction", 800, 4000, "f32", "cylinder", "pallas",
+     14.38, "AMD R9 280X OpenCL SP (README.md:90)"),
+    ("800x4000 f32 row-sharded (MPI-equivalent)", 800, 4000, "f32", "barrier", "sharded-pallas",
+     14.87, "13x2 Opteron 6128 MPI overlap (README.md:88)"),
+    ("4000x16000 f32 large-domain", 4000, 16000, "f32", "barrier", "pallas",
+     None, "no reference datapoint at this size"),
+    ("4000x16000 bf16-storage mixed precision", 4000, 16000, "bf16", "barrier", "pallas",
+     None, "no reference datapoint at this size"),
+]
+
+
+def run_config(name, nx, ny, precision, geo, backend, steps, warmup=200):
+    import jax
+    import numpy as np
+
+    from . import geometry
+    from .core.spec import LatticeConfig
+    from .models.engine import Simulation
+
+    if precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+        dtype = np.float64
+    elif precision == "bf16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
+    else:
+        dtype = np.float32
+
+    try:
+        cfg = LatticeConfig(nx=nx, ny=ny, dtype=dtype)
+        walls = geometry.build(geo, nx, ny)
+        sim = Simulation(cfg, walls, backend=backend)
+        sim.run(min(warmup, steps))
+        sim.elapsed = 0.0
+        sim.steps_done = 0
+        sim.run(steps)
+        runtime = sim.elapsed
+        mlups = sim.mlups
+        re = sim.reynolds()
+        # on-device macroscopic extraction is part of config 3's contract
+        rho, ux, uy = sim.macroscopic()
+        ok = bool(np.isfinite(rho).all() and np.isfinite(re))
+    finally:
+        if precision == "f64":
+            # x64 mode poisons later Pallas compiles (i64 grid indices);
+            # scope it to this config
+            jax.config.update("jax_enable_x64", False)
+    return {
+        "config": name,
+        "lattice": f"{nx}x{ny}",
+        "precision": precision,
+        "backend": backend,
+        "steps": steps,
+        "runtime_s": round(runtime, 3),
+        "mlups": round(mlups, 1),
+        "reynolds": float(re),
+        "sane": ok,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("--quick", action="store_true", help="1000 steps per config")
+    ap.add_argument("--out", default=None, help="write a markdown table here")
+    ap.add_argument("--only", type=int, default=None, help="run a single config index (1-based)")
+    args = ap.parse_args(argv)
+    steps = 1000 if args.quick else args.steps
+
+    import jax
+
+    rows = []
+    todo = CONFIGS if args.only is None else [CONFIGS[args.only - 1]]
+    for name, nx, ny, prec, geo, backend, base_rt, base_hw in todo:
+        # f64 at full steps is an emulated-precision correctness config —
+        # cap its step count to keep the suite bounded
+        n = min(steps, 2000) if prec == "f64" else steps
+        t0 = time.time()
+        r = run_config(name, nx, ny, prec, geo, backend, n)
+        r["wall_total_s"] = round(time.time() - t0, 1)
+        if base_rt is not None:
+            base_mlups = nx * ny * 10000 / base_rt / 1e6
+            r["baseline_mlups"] = round(base_mlups, 1)
+            r["speedup_vs_baseline"] = round(r["mlups"] / base_mlups, 2)
+            r["baseline_hw"] = base_hw
+        print(json.dumps(r), flush=True)
+        rows.append(r)
+
+    if args.out:
+        lines = [
+            "# Benchmark results (latticeboltzmann_tpu)",
+            "",
+            f"Device: {jax.devices()[0]}; steps per config: {steps} "
+            "(f64 capped at 2000). MLUPS = NX*NY*steps/runtime/1e6, the",
+            "reference's derived metric (BASELINE.md).",
+            "",
+            "| Config | Backend | Steps | Runtime (s) | MLUPS | vs baseline | Baseline HW |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in rows:
+            vs = f'{r.get("speedup_vs_baseline", "—")}x' if "speedup_vs_baseline" in r else "—"
+            hw = r.get("baseline_hw", "—")
+            lines.append(
+                f'| {r["config"]} | {r["backend"]} | {r["steps"]} | '
+                f'{r["runtime_s"]} | {r["mlups"]} | {vs} | {hw} |'
+            )
+        lines.append("")
+        with open(args.out, "w") as fp:
+            fp.write("\n".join(lines))
+        with open(args.out.rsplit(".", 1)[0] + ".jsonl", "w") as fp:
+            for r in rows:
+                fp.write(json.dumps(r) + "\n")
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

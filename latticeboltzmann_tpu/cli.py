@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="path to a .lbmckpt directory (or 'latest')")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="abort on NaN/inf like the reference's "
+                        "feenableexcept trap (src/latticeboltzmann.c:129)")
     return p
 
 
@@ -77,6 +80,8 @@ def main(argv=None) -> int:
     from .models.engine import Simulation
     from .utils import checkpoint, stats, viz
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.precision == "f64":
         jax.config.update("jax_enable_x64", True)
     dtype = PRECISIONS[args.precision]

@@ -28,6 +28,7 @@ zero host round-trips and zero resharding collectives.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -196,48 +197,58 @@ def make_pallas_run_steps(
     fspec = P(None, AXIS, None)
     wspec = P(AXIS, None)
 
-    def sharded_loop(f_l, walls_l, n_pairs, rem):
-        n = jax.lax.axis_size(AXIS)
-        down = [(i, (i + 1) % n) for i in range(n)]
-        up = [(i, (i - 1) % n) for i in range(n)]
-        # static wall halos: one exchange per run
-        whtop = jax.lax.ppermute(walls_l[L - T :], AXIS, down)
-        whbot = jax.lax.ppermute(walls_l[:T], AXIS, up)
+    def _make_loop(rem: int):
+        def sharded_loop(f_l, walls_l, n_pairs):
+            n = jax.lax.axis_size(AXIS)
+            down = [(i, (i + 1) % n) for i in range(n)]
+            up = [(i, (i - 1) % n) for i in range(n)]
+            # static wall halos: one exchange per run
+            whtop = jax.lax.ppermute(walls_l[L - T :], AXIS, down)
+            whbot = jax.lax.ppermute(walls_l[:T], AXIS, up)
 
-        def one_pass(src, donor, stepfn, t):
-            htop = jax.lax.ppermute(src[:, L - t :, :], AXIS, down)
-            hbot = jax.lax.ppermute(src[:, :t, :], AXIS, up)
-            wt = whtop[T - t :] if t < T else whtop
-            wb = whbot[:t]
-            return stepfn(src, donor, walls_l, htop, hbot, wt, wb)
+            def one_pass(src, donor, stepfn, t):
+                htop = jax.lax.ppermute(src[:, L - t :, :], AXIS, down)
+                hbot = jax.lax.ppermute(src[:, :t, :], AXIS, up)
+                wt = whtop[T - t :] if t < T else whtop
+                wb = whbot[:t]
+                return stepfn(src, donor, walls_l, htop, hbot, wt, wb)
 
-        def body(_, carry):
-            a, b = carry
-            b = one_pass(a, b, step, T)
-            a = one_pass(b, a, step, T)
-            return (a, b)
+            def body(_, carry):
+                a, b = carry
+                b = one_pass(a, b, step, T)
+                a = one_pass(b, a, step, T)
+                return (a, b)
 
-        a, b = jax.lax.fori_loop(0, n_pairs, body, (f_l, jnp.zeros_like(f_l)))
-        for k in range(rem):
-            a, b = one_pass(a, b, step1, 1), a
-        return a
+            a, b = jax.lax.fori_loop(0, n_pairs, body, (f_l, jnp.zeros_like(f_l)))
+            for _ in range(rem):
+                a, b = one_pass(a, b, step1, 1), a
+            return a
 
-    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
+        return sharded_loop
+
+    @functools.lru_cache(maxsize=8)
+    def _jitted(rem: int):
+        @partial(jax.jit, donate_argnums=(0,))
+        def run(f, walls, n_pairs):
+            f_p, walls_p = fk.pad_state(f, walls, cfg)
+            out = jax.shard_map(
+                _make_loop(rem),
+                mesh=mesh,
+                in_specs=(fspec, wspec, P()),
+                out_specs=fspec,
+                # pallas_call's ShapeDtypeStruct outputs carry no vma
+                # annotation, so shard_map's varying-axis check can't see
+                # through them
+                check_vma=False,
+            )(f_p, walls_p, n_pairs)
+            return out[:, :, : cfg.ny]
+
+        return run
+
     def run_steps(f, walls, n_steps: int):
-        f_p, walls_p = fk.pad_state(f, walls, cfg)
-        n_pairs = n_steps // (2 * T)
-        rem = n_steps % (2 * T)
-        out = jax.shard_map(
-            partial(sharded_loop, n_pairs=n_pairs, rem=rem),
-            mesh=mesh,
-            in_specs=(fspec, wspec),
-            out_specs=fspec,
-            # pallas_call's ShapeDtypeStruct outputs carry no vma
-            # annotation, so shard_map's varying-axis check can't see
-            # through them
-            check_vma=False,
-        )(f_p, walls_p)
-        return out[:, :, : cfg.ny]
+        # dynamic pair count: changing n_steps only recompiles when the
+        # remainder class changes
+        return _jitted(n_steps % (2 * T))(f, walls, n_steps // (2 * T))
 
     return run_steps
 
