@@ -111,8 +111,9 @@ def _make_kernel(
 
     one = dtype(1.0)
     three = dtype(3.0)
-    threeotwo = dtype(1.5)
     half = dtype(0.5)
+    sixth = dtype(1.0 / 6.0)
+    csq = dtype(cfg.csq)
     icsq = dtype(1.0 / cfg.csq)
     itau = dtype(1.0 / cfg.tau)
     w = [dtype(W[s]) for s in range(NSPEEDS)]
@@ -252,31 +253,51 @@ def _make_kernel(
                 col = f[s][1 - ex : R - 1 - ex]  # (R-2, nyp)
                 pulled.append(_roll_y_periodic(col, ey, ny) if ey else col)
 
-            density = pulled[0]
-            for s in range(1, NSPEEDS):
-                density = density + pulled[s]
+            # moments with shared partial sums (same values as the
+            # reference's sums, reassociated for op count)
+            p = pulled
+            d56 = p[5] + p[6]
+            d78 = p[7] + p[8]
+            d58 = p[5] + p[8]
+            d67 = p[6] + p[7]
+            density = (p[0] + (p[1] + p[3])) + ((p[2] + p[4]) + (d56 + d78))
             inv_rho = one / density
-            u_x = ((pulled[6] + pulled[2]) + pulled[5]
-                   - ((pulled[7] + pulled[4]) + pulled[8])) * inv_rho
-            u_y = ((pulled[5] + pulled[1]) + pulled[8]
-                   - ((pulled[6] + pulled[3]) + pulled[7])) * inv_rho
-            udotu_term = threeotwo * icsq * (u_x * u_x + u_y * u_y)
+            u_x = ((p[2] - p[4]) + (d56 - d78)) * inv_rho
+            u_y = ((p[1] - p[3]) + (d58 - d67)) * inv_rho
             # directional e_i . u, pre-scaled by 3/c^2 (as the reference's
             # vector kernel does, src/latticeboltzmann.c:399-409)
             ux3 = three * icsq * u_x
             uy3 = three * icsq * u_y
-            eu = [None, uy3, ux3, -uy3, -ux3,
-                  ux3 + uy3, ux3 - uy3, -ux3 - uy3, -ux3 + uy3]
-            out = []
-            feq0 = w[0] * density * (one - udotu_term)
-            out.append(pulled[0] + itau * (feq0 - pulled[0]))
-            for s in range(1, NSPEEDS):
-                feq = (w[s] * density) * (one + eu[s] + (half * eu[s] * eu[s] - udotu_term))
-                out.append(pulled[s] + itau * (feq - pulled[s]))
+            # 1 - 1.5|u|^2/c^2 from the pre-scaled components:
+            # uterm = (1/6)(ux3^2 + uy3^2) * csq = 1.5|u|^2/c^2
+            base = one - sixth * csq * (ux3 * ux3 + uy3 * uy3)
+
+            # relaxation folded into the equilibrium weights:
+            # out = (1-1/tau) f + (w_s/tau) rho (base + eu + eu^2/2),
+            # with the quadratic part shared between opposite-speed
+            # pairs (eu_opp = -eu) — the reference's math (:283-296)
+            # with ~25% fewer vector ops
+            c1 = one - itau
+            iw0, iw14, iw58 = itau * w[0], itau * w[1], itau * w[5]
+            r0_, r14, r58 = iw0 * density, iw14 * density, iw58 * density
+            out = [None] * NSPEEDS
+            out[0] = c1 * p[0] + r0_ * base
+            for sp, sn, r_ in ((1, 3, r14), (2, 4, r14), (5, 7, r58), (6, 8, r58)):
+                if sp == 1:
+                    eu = uy3
+                elif sp == 2:
+                    eu = ux3
+                elif sp == 5:
+                    eu = ux3 + uy3
+                else:  # sp == 6
+                    eu = ux3 - uy3
+                q = base + half * eu * eu
+                out[sp] = c1 * p[sp] + r_ * (q + eu)
+                out[sn] = c1 * p[sn] + r_ * (q - eu)
 
             wall_c = wall[1 : R - 1]
             return [
-                jnp.where(wall_c, pulled[int(OPPOSITE[s])], out[s])
+                jnp.where(wall_c, p[int(OPPOSITE[s])], out[s])
                 for s in range(NSPEEDS)
             ]
 
