@@ -87,14 +87,20 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--quick", action="store_true", help="1000 steps per config")
     ap.add_argument("--out", default=None, help="write a markdown table here")
-    ap.add_argument("--only", type=int, default=None, help="run a single config index (1-based)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated 1-based config indices, e.g. 1,2,3")
+    ap.add_argument("--append", action="store_true",
+                    help="append to the jsonl instead of rewriting")
     args = ap.parse_args(argv)
     steps = 1000 if args.quick else args.steps
 
     import jax
 
     rows = []
-    todo = CONFIGS if args.only is None else [CONFIGS[args.only - 1]]
+    if args.only is None:
+        todo = CONFIGS
+    else:
+        todo = [CONFIGS[int(i) - 1] for i in args.only.split(",")]
     for name, nx, ny, prec, geo, backend, base_rt, base_hw in todo:
         # f64 at full steps is an emulated-precision correctness config —
         # cap its step count to keep the suite bounded
@@ -111,6 +117,19 @@ def main(argv=None) -> int:
         rows.append(r)
 
     if args.out:
+        jsonl = args.out.rsplit(".", 1)[0] + ".jsonl"
+        if args.append:
+            import pathlib
+
+            prev = [
+                json.loads(l)
+                for l in pathlib.Path(jsonl).read_text().splitlines()
+                if l.strip()
+            ] if pathlib.Path(jsonl).exists() else []
+            names = {r["config"] for r in rows}
+            rows = [r for r in prev if r["config"] not in names] + rows
+            order = {c[0]: k for k, c in enumerate(CONFIGS)}
+            rows.sort(key=lambda r: order.get(r["config"], 99))
         lines = [
             "# Benchmark results (latticeboltzmann_tpu)",
             "",
@@ -131,7 +150,7 @@ def main(argv=None) -> int:
         lines.append("")
         with open(args.out, "w") as fp:
             fp.write("\n".join(lines))
-        with open(args.out.rsplit(".", 1)[0] + ".jsonl", "w") as fp:
+        with open(jsonl, "w") as fp:
             for r in rows:
                 fp.write(json.dumps(r) + "\n")
         print(f"wrote {args.out}")

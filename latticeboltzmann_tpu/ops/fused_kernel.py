@@ -474,7 +474,9 @@ def run_steps(
 
         return stream_collide.run_steps(f, walls, cfg, n_steps)
     if temporal is None:
-        temporal = min(DEFAULT_TEMPORAL, br)
+        # interpreter mode is a semantics tool — temporal blocking only
+        # multiplies its cost
+        temporal = 1 if interpret else min(DEFAULT_TEMPORAL, br)
     nyp = round_up(cfg.ny, LANE)
     f_p, walls_p = pad_state(f, walls, cfg)
     runner = _make_runner(cfg, nx, nyp, br, interpret, temporal)
