@@ -40,15 +40,21 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pick_block_rows(nx: int) -> int:
-    """Preferred block-row count: 16 when it divides NX (BR=16 measured
-    fastest on v5e), else the largest multiple-of-8 divisor <= 32, else
-    0 (caller falls back to the XLA path)."""
-    if nx % 16 == 0:
-        return 16
-    for br in (32, 24, 8):
-        if nx % br == 0:
-            return br
+def pick_block_rows(nx: int, nyp: int | None = None, itemsize: int = 4, temporal: int = 4) -> int:
+    """Block-row count: the largest of (32, 24, 16, 8) that divides NX
+    and fits the VMEM budget (BR=32 measured fastest on v5e at 4096
+    lanes: 16,014 MLUPS; wide lattices need smaller blocks). Returns 0
+    when none divides NX (caller falls back to the XLA path)."""
+    budget = 80 * 1024 * 1024
+    for br in (32, 24, 16, 8):
+        if nx % br:
+            continue
+        if nyp is not None:
+            # 4 staging slots + double-buffered output + ~2 live windows
+            need = (4 * 9 * br + 2 * 9 * br + 2 * 9 * (br + 2 * temporal)) * nyp * itemsize
+            if need > budget:
+                continue
+        return br
     return 0
 
 
@@ -465,7 +471,7 @@ def run_steps(
     statically-unrolled single-step passes.
     """
     nx = f.shape[1]
-    br = pick_block_rows(nx)
+    br = pick_block_rows(nx, round_up(cfg.ny, LANE), np.dtype(cfg.dtype).itemsize)
     if br == 0 or np.dtype(cfg.dtype) == np.float64:
         # odd shapes, and float64 (software-emulated on TPU — a
         # correctness config, not a perf config; SURVEY.md section 7

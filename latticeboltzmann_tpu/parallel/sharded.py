@@ -184,7 +184,7 @@ def make_pallas_run_steps(
     if cfg.nx % n_dev:
         raise ValueError(f"NX={cfg.nx} not divisible by {n_dev} devices")
     L = cfg.nx // n_dev
-    br = fk.pick_block_rows(L)
+    br = fk.pick_block_rows(L, fk.round_up(cfg.ny, fk.LANE), np.dtype(cfg.dtype).itemsize)
     if br == 0:
         raise ValueError(f"local rows {L} not tileable; use the 'sharded' XLA backend")
     if temporal is None:
