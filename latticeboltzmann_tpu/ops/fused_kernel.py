@@ -40,22 +40,32 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pick_block_rows(nx: int, nyp: int | None = None, itemsize: int = 4, temporal: int = 4) -> int:
-    """Block-row count: the largest of (32, 24, 16, 8) that divides NX
-    and fits the VMEM budget (BR=32 measured fastest on v5e at 4096
-    lanes: 16,014 MLUPS; wide lattices need smaller blocks). Returns 0
-    when none divides NX (caller falls back to the XLA path)."""
-    budget = 80 * 1024 * 1024
+def _vmem_need(br: int, slots: int, nyp: int, itemsize: int, temporal: int) -> int:
+    # staging slots + double-buffered output + ~2 live compute windows
+    return (slots * 9 * br + 2 * 9 * br + 2 * 9 * (br + 2 * temporal)) * nyp * itemsize
+
+
+VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def pick_block_config(nx: int, nyp: int, itemsize: int = 4, temporal: int = 4) -> tuple[int, int]:
+    """(block_rows, staging_slots): the largest block of (32, 24, 16, 8)
+    dividing NX that fits the VMEM budget, with 6 staging slots when
+    affordable (deeper DMA prefetch lead) else 4. BR=32/6 measured
+    fastest on v5e at 4096 lanes; wide lattices step down. Returns
+    (0, 0) when nothing divides NX (caller falls back to XLA)."""
     for br in (32, 24, 16, 8):
         if nx % br:
             continue
-        if nyp is not None:
-            # 4 staging slots + double-buffered output + ~2 live windows
-            need = (4 * 9 * br + 2 * 9 * br + 2 * 9 * (br + 2 * temporal)) * nyp * itemsize
-            if need > budget:
-                continue
-        return br
-    return 0
+        for slots in (6, 4):
+            if _vmem_need(br, slots, nyp, itemsize, temporal) <= VMEM_BUDGET:
+                return br, slots
+    return 0, 0
+
+
+def pick_block_rows(nx: int, nyp: int | None = None, itemsize: int = 4, temporal: int = 4) -> int:
+    """Back-compat shim: block rows only."""
+    return pick_block_config(nx, nyp if nyp is not None else LANE, itemsize, temporal)[0]
 
 
 def _roll_y_periodic(plane, ey: int, ny: int):
@@ -83,6 +93,7 @@ def _make_kernel(
     dtype,
     temporal: int = 1,
     external_halo: bool = False,
+    slots: int = 6,
 ):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
@@ -127,6 +138,10 @@ def _make_kernel(
     a58 = dtype(cfg.accel) * dtype(W[5])
     zero = dtype(0.0)
 
+    # staging slots: 3 resident blocks + in-flight prefetches. 6 gives
+    # the DMA engine ~3 grid iterations of lead time (vs 1 with 4).
+    SLOTS = slots
+
     def _rem(a, n: int):
         # int32-stable modulo (tests run under jax_enable_x64)
         return jax.lax.rem(jnp.asarray(a, jnp.int32), jnp.int32(n))
@@ -161,7 +176,7 @@ def _make_kernel(
                 )
             else:
                 blk = _rem(k + (n_blocks - 1), n_blocks)
-            slot = _rem(k, 4)
+            slot = _rem(k, SLOTS)
             r0 = blk * jnp.int32(br)
             return (
                 pltpu.make_async_copy(
@@ -190,15 +205,14 @@ def _make_kernel(
         # vector block (src/latticeboltzmann.c:350-358)
         @pl.when(i == 0)
         def _():
-            start(0)
-            start(1)
-            start(2)
+            for k in range(min(SLOTS - 1, n_blocks + 2)):
+                start(k)
             wait(0)
             wait(1)
 
-        @pl.when(i + 3 < n_blocks + 2)
+        @pl.when(i + SLOTS - 1 < n_blocks + 2)
         def _():
-            start(i + 3)
+            start(i + SLOTS - 1)
 
         wait(i + 2)
 
@@ -215,36 +229,40 @@ def _make_kernel(
 
             @pl.when(i == n_blocks - 1)
             def _():
-                slot_last = (n_blocks + 1) % 4
+                slot_last = (n_blocks + 1) % SLOTS
                 for s in range(NSPEEDS):
                     fbody[slot_last, s, :T, :] = hbot[s]
                 wbody[slot_last, :T, :] = whbot[...]
 
-        s_top = _rem(i, 4)      # holds block i-1: its last row is our top halo
-        s_body = _rem(i + 1, 4)  # block i
-        s_bot = _rem(i + 2, 4)  # block i+1: its first row is our bottom halo
+        s_top = _rem(i, SLOTS)      # holds block i-1: its last row is our top halo
+        s_body = _rem(i + 1, SLOTS)  # block i
+        s_bot = _rem(i + 2, SLOTS)  # block i+1: its first row is our bottom halo
 
         def forced(planes, wall):
             """Channel forcing on column j=0 (src/latticeboltzmann.c:
             489-518), applied to any row set (body or halo rows — halo
             rows must be post-forcing because boundary outputs pull
-            from them)."""
+            from them). The forced column lives in lane 0, so all the
+            guard/update arithmetic runs on a single 128-lane sub-block
+            and is written back with a one-vreg dynamic-update-slice —
+            a ~10% whole-kernel op saving vs full-width selects."""
             r = planes[0].shape[0]
-            lane0 = jax.lax.broadcasted_iota(jnp.int32, (r, nyp), 1) == 0
+            sub = [p[:, :LANE] for p in planes]
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 1) == 0
             ok = (
                 lane0
-                & jnp.logical_not(wall)
-                & (planes[6] - a58 > zero)
-                & (planes[3] - a14 > zero)
-                & (planes[7] - a58 > zero)
+                & jnp.logical_not(wall[:, :LANE])
+                & (sub[6] - a58 > zero)
+                & (sub[3] - a14 > zero)
+                & (sub[7] - a58 > zero)
             )
             out = list(planes)
-            out[6] = jnp.where(ok, planes[6] - a58, planes[6])
-            out[3] = jnp.where(ok, planes[3] - a14, planes[3])
-            out[7] = jnp.where(ok, planes[7] - a58, planes[7])
-            out[5] = jnp.where(ok, planes[5] + a58, planes[5])
-            out[1] = jnp.where(ok, planes[1] + a14, planes[1])
-            out[8] = jnp.where(ok, planes[8] + a58, planes[8])
+            for s, delta in ((6, -a58), (3, -a14), (7, -a58),
+                             (5, a58), (1, a14), (8, a58)):
+                new_sub = jnp.where(ok, sub[s] + delta, sub[s])
+                # static lane concat (dynamic_update_slice has no Pallas
+                # TPU lowering)
+                out[s] = jnp.concatenate([new_sub, planes[s][:, LANE:]], axis=1)
             return out
 
         def stream_collide_window(f, wall):
@@ -346,6 +364,7 @@ def make_step(
     interpret: bool = False,
     temporal: int = 1,
     external_halo: bool = False,
+    slots: int | None = None,
 ):
     """Jittable padded-state half-step:
     (f_src, dst_donor, walls_padded_f32) -> f_new, where f_new reuses
@@ -357,9 +376,11 @@ def make_step(
     (j >= cfg.ny) marked solid.
     """
     dtype = np.dtype(cfg.dtype).type
-    kernel = _make_kernel(cfg, nx, nyp, br, dtype, temporal, external_halo)
-    n_blocks = nx // br
     itemsize = np.dtype(cfg.dtype).itemsize
+    if slots is None:
+        slots = 6 if _vmem_need(br, 6, nyp, itemsize, temporal) <= VMEM_BUDGET else 4
+    kernel = _make_kernel(cfg, nx, nyp, br, dtype, temporal, external_halo, slots)
+    n_blocks = nx // br
 
     in_specs = [
         # pinned to HBM (not ANY): with ANY the compiler may promote
@@ -388,9 +409,9 @@ def make_step(
         ),
         input_output_aliases={1: 0},
         scratch_shapes=[
-            pltpu.VMEM((4, NSPEEDS, br, nyp), cfg.dtype),   # 4 rotating body slots
-            pltpu.VMEM((4, br, nyp), jnp.float32),          # walls slots
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.VMEM((slots, NSPEEDS, br, nyp), cfg.dtype),   # rotating body slots
+            pltpu.VMEM((slots, br, nyp), jnp.float32),          # walls slots
+            pltpu.SemaphoreType.DMA((slots, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
