@@ -17,8 +17,9 @@ of its software prefetch, src/latticeboltzmann.c:350-358).
 Layout: f is (9, NX, NYP) float32/bfloat16, NYP = NY rounded up to 128
 lanes. The periodic y wrap is done in-VMEM with a lane roll plus an
 edge-column fix at the true NY boundary (padding lanes are treated as
-wall sites and never feed real sites). The x wrap is done by the halo
-DMAs (each block stages rows [r0-1, r0+BR] with wrapped row indices).
+wall sites and never feed real sites). The x wrap falls out of the
+rotating-slot staging: whole neighbor row-blocks (with wrapped block
+indices) are resident, so stencil halos are just their edge rows.
 """
 
 from __future__ import annotations
@@ -138,8 +139,7 @@ def _make_kernel(
     a58 = dtype(cfg.accel) * dtype(W[5])
     zero = dtype(0.0)
 
-    # staging slots: 3 resident blocks + in-flight prefetches. 6 gives
-    # the DMA engine ~3 grid iterations of lead time (vs 1 with 4).
+    # staging slots: 3 resident blocks + in-flight prefetches
     SLOTS = slots
 
     def _rem(a, n: int):
@@ -150,10 +150,10 @@ def _make_kernel(
     # block b-1 and the bottom halo row is the FIRST row of body block
     # b+1 — so staging *whole neighbor body blocks* gives every halo for
     # free, all DMAs stay 8-row tile-aligned (Mosaic requirement), and
-    # halo traffic is ~zero instead of 2 extra rows per block. Four
-    # rotating VMEM slots hold blocks [i-1, i, i+1] plus the in-flight
-    # prefetch of block i+2. Issue index k stages block (k-1) mod G into
-    # slot k mod 4; compute at grid step i consumes issues i, i+1, i+2.
+    # halo traffic is ~zero instead of 2T extra rows per block. SLOTS
+    # rotating VMEM slots hold blocks [i-1, i, i+1] plus in-flight
+    # prefetches. Issue index k stages block (k-1) mod G into slot
+    # k mod SLOTS; compute at grid step i consumes issues i, i+1, i+2.
 
     def kernel(f_hbm, donor_hbm, walls_hbm, *rest):
         # donor_hbm is never read: it only donates its HBM buffer to the
@@ -199,9 +199,9 @@ def _make_kernel(
             for c in copies(k):
                 c.wait()
 
-        # warm-up at i=0: stage blocks G-1, 0 (issues 0, 1); every step
-        # prefetches issue i+3 (block i+2) while computing block i — the
-        # TPU version of the reference's software prefetch of the next
+        # warm-up at i=0: start the first SLOTS-1 issues; every step
+        # prefetches issue i+SLOTS-1 while computing block i — the TPU
+        # version of the reference's software prefetch of the next
         # vector block (src/latticeboltzmann.c:350-358)
         @pl.when(i == 0)
         def _():
@@ -243,9 +243,8 @@ def _make_kernel(
             489-518), applied to any row set (body or halo rows — halo
             rows must be post-forcing because boundary outputs pull
             from them). The forced column lives in lane 0, so all the
-            guard/update arithmetic runs on a single 128-lane sub-block
-            and is written back with a one-vreg dynamic-update-slice —
-            a ~10% whole-kernel op saving vs full-width selects."""
+            guard/update arithmetic runs on a single 128-lane sub-block,
+            written back with a static lane concat."""
             r = planes[0].shape[0]
             sub = [p[:, :LANE] for p in planes]
             lane0 = jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 1) == 0
@@ -443,13 +442,10 @@ def pad_state(f, walls, cfg: LatticeConfig):
     return f_p, walls_p
 
 
-# default temporal-blocking depth: T=4 measured fastest on v5e for the
-# benchmark lattices (BR=16/T=4: 11,855 MLUPS on 800x4000 f32; deeper
-# windows lose to halo-overlap compute)
+# default temporal-blocking depth: T=4 measured fastest on v5e
+# (BR=32/T=4: 16,014 MLUPS on 800x4000 f32; deeper windows lose to
+# window-overlap compute)
 DEFAULT_TEMPORAL = 4
-# preferred row-block size (BR=16 beat 8 and 32 on v5e with the raised
-# vmem limit)
-PREFERRED_BLOCK_ROWS = 16
 
 
 @functools.lru_cache(maxsize=64)
