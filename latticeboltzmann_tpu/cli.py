@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on NaN/inf like the reference's "
                         "feenableexcept trap (src/latticeboltzmann.c:129)")
+    p.add_argument("--warmup", type=int, default=8,
+                   help="steps run once before timing starts to absorb "
+                        "jit compilation (state is reset afterwards); "
+                        "0 disables")
     return p
 
 
@@ -117,6 +121,17 @@ def main(argv=None) -> int:
     if args.profile_dir:
         profile_cm = jax.profiler.trace(args.profile_dir)
         profile_cm.__enter__()
+
+    if args.warmup:
+        # absorb kernel compilation outside the timed run, then restore
+        # the state (the reference has no compile phase to exclude).
+        # copy first: some backends donate their input buffer.
+        import jax.numpy as jnp
+
+        f_before = jnp.array(sim.f, copy=True)
+        sim.f = sim._run_steps(sim.f, sim.walls, sim.cfg, args.warmup)
+        float(jnp.sum(sim.f[0, 0, :8]))
+        sim.f = f_before
 
     reporter = stats.RunStats(cfg, total_steps=args.steps)
     # chunked run: stats/snapshots/checkpoints between on-device scans —
