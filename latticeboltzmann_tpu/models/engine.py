@@ -11,7 +11,6 @@ from __future__ import annotations
 import time
 from typing import Callable
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,7 +106,9 @@ class Simulation:
         self.elapsed = 0.0
 
     def run(self, n_steps: int, *, block: bool = True) -> "Simulation":
-        """Advance n_steps under one jit(scan); timing excludes compile."""
+        """Advance n_steps on device. The first call per configuration
+        includes jit compilation in `elapsed`; benchmarks warm up first
+        (bench.py) or use the CLI --warmup flag."""
         t0 = time.perf_counter()
         self.f = self._run_steps(self.f, self.walls, self.cfg, n_steps)
         if block:
