@@ -129,3 +129,33 @@ def test_cli_resume(tmp_path):
                         capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "resumed from" in r2.stdout
+
+
+def test_profiler_steptimer_and_trace(tmp_path):
+    from latticeboltzmann_tpu.utils import profiler
+    import jax.numpy as jnp
+    import time as _t
+
+    t = profiler.StepTimer()
+    _t.sleep(0.01)
+    lap = t.lap()
+    assert 0 < lap <= t.elapsed + 1e-6
+    with profiler.trace(str(tmp_path / "trace")):
+        with profiler.annotate("lbm-step"):
+            float(jnp.sum(jnp.ones((8, 8))))
+    # a trace directory with at least one event file appears
+    assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_bench_suite_configs_integrity():
+    """The suite must cover all five BASELINE.json configs with sane
+    shapes/backends."""
+    from latticeboltzmann_tpu.bench_suite import CONFIGS
+
+    assert len(CONFIGS) == 6  # config 5 runs twice: f32 and bf16
+    precisions = {c[3] for c in CONFIGS}
+    assert precisions == {"f64", "f32", "bf16"}
+    assert any(c[5] == "sharded-pallas" for c in CONFIGS)
+    assert any(c[4] == "cylinder" for c in CONFIGS)
+    for name, nx, ny, prec, geo, backend, rt, hw in CONFIGS:
+        assert nx % 8 == 0 and ny >= 128
