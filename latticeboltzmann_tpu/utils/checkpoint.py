@@ -13,13 +13,12 @@ self-containment).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import pathlib
 
 import numpy as np
 
-from ..core.spec import NSPEEDS, LatticeConfig
+from ..core.spec import LatticeConfig
 from . import native
 
 
