@@ -168,3 +168,42 @@ def test_f64_routes_to_xla_engine():
     )
     ref = _run_golden64(cfg, walls, 5)
     np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-18)
+
+
+def test_single_block_grid():
+    """NX=8 -> one grid block: the periodic staging degenerates to three
+    copies of the same block (G=1 edge case of the slot rotation)."""
+    cfg = LatticeConfig(nx=8, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    out = _run_pallas(cfg, walls, 6)
+    ref = _run_golden64(cfg, walls, 6)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
+
+
+def test_two_block_grid():
+    """G=2: every block is its own neighbor's neighbor."""
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32)
+    walls = geometry.empty(cfg.nx, cfg.ny)
+    f0 = initial_state(cfg)
+    f0[2, 15, 7] += 0.5  # +x mover crossing the G-1 -> 0 wrap
+    out = np.asarray(fk.run_steps(jnp.asarray(f0), jnp.asarray(walls), cfg, 1, interpret=True))
+    cfg64 = LatticeConfig(nx=16, ny=40, dtype=np.float64)
+    ref = golden.run(f0.astype(np.float64), walls, cfg64, 1)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
+
+
+def test_near_instability_tau():
+    """tau close to 1/2 (viscosity -> 0): must stay finite over a short
+    run (the reference would hard-fault on NaN; we assert)."""
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32, tau=0.52)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    out = _run_pallas(cfg, walls, 20)
+    assert np.isfinite(out).all()
+
+
+def test_zero_accel_is_stationary():
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32, accel=0.0)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    out = _run_pallas(cfg, walls, 10)
+    ref = np.asarray(initial_state(cfg))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-8)
