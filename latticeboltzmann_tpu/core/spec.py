@@ -56,6 +56,15 @@ W = np.array([W0, W14, W14, W14, W14, W58, W58, W58, W58], dtype=np.float64)
 # writes f_s := pulled f_{OPPOSITE[s]} (src/latticeboltzmann.c:246-255).
 OPPOSITE = np.array([0, 3, 4, 1, 2, 7, 8, 5, 6], dtype=np.int32)
 
+# Specular-reflection ("slip") tables: REFLECT_X[s] is the speed with
+# e_x mirrored (wall plane normal to x — the channel walls); REFLECT_Y
+# mirrors e_y. The reference names this "reflect" as a concept but never
+# implements it (src/latticeboltzmann.c:21); here it is a first-class BC.
+# Slip preserves tangential momentum (free-slip wall), unlike bounce-back
+# (no-slip).
+REFLECT_X = np.array([0, 1, 4, 3, 2, 8, 7, 6, 5], dtype=np.int32)
+REFLECT_Y = np.array([0, 3, 2, 1, 4, 6, 5, 8, 7], dtype=np.int32)
+
 # Speed groups entering the velocity moments (src/latticeboltzmann.c:263-266):
 # u_x numerator: +(f6+f2+f5) - (f7+f4+f8); u_y: +(f5+f1+f8) - (f6+f3+f7).
 POS_X = (6, 2, 5)

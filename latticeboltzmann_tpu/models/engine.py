@@ -88,6 +88,8 @@ class Simulation:
         *,
         backend: str = "xla",
         f0: np.ndarray | None = None,
+        slip_x: np.ndarray | None = None,
+        slip_y: np.ndarray | None = None,
     ):
         self.cfg = cfg
         if walls is None:
@@ -96,10 +98,16 @@ class Simulation:
             raise ValueError(f"walls shape {walls.shape} != lattice {(cfg.nx, cfg.ny)}")
         if backend not in _BACKENDS:
             raise ValueError(f"unknown backend {backend!r}; have {available_backends()}")
+        if (slip_x is not None or slip_y is not None) and backend != "xla":
+            raise NotImplementedError(
+                "free-slip boundaries are currently implemented on the 'xla' backend"
+            )
         self.backend = backend
         self._run_steps = _BACKENDS[backend]
         self.walls_np = np.asarray(walls, dtype=bool)
         self.walls = jnp.asarray(self.walls_np)
+        self.slip_x = None if slip_x is None else jnp.asarray(slip_x, bool)
+        self.slip_y = None if slip_y is None else jnp.asarray(slip_y, bool)
         f_init = initial_state(cfg) if f0 is None else np.asarray(f0, np.dtype(cfg.dtype))
         self.f = jnp.asarray(f_init)
         self.steps_done = 0
@@ -110,7 +118,12 @@ class Simulation:
         includes jit compilation in `elapsed`; benchmarks warm up first
         (bench.py) or use the CLI --warmup flag."""
         t0 = time.perf_counter()
-        self.f = self._run_steps(self.f, self.walls, self.cfg, n_steps)
+        if self.slip_x is not None or self.slip_y is not None:
+            self.f = xla_ops.run_steps(
+                self.f, self.walls, self.cfg, n_steps, self.slip_x, self.slip_y
+            )
+        else:
+            self.f = self._run_steps(self.f, self.walls, self.cfg, n_steps)
         if block:
             # NOTE: under tunneled TPU runtimes block_until_ready() can
             # return before execution finishes; fetching a scalar reduce

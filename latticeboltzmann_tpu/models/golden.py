@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.spec import E, NSPEEDS, OPPOSITE, W, LatticeConfig
+from ..core.spec import E, NSPEEDS, OPPOSITE, REFLECT_X, REFLECT_Y, W, LatticeConfig
 
 
 def initial_state(cfg: LatticeConfig, dtype=np.float64) -> np.ndarray:
@@ -129,29 +129,64 @@ def collide(pulled: np.ndarray, cfg: LatticeConfig) -> np.ndarray:
     return out
 
 
-def stream_collide(f: np.ndarray, walls: np.ndarray, cfg: LatticeConfig) -> np.ndarray:
+def stream_collide(
+    f: np.ndarray,
+    walls: np.ndarray,
+    cfg: LatticeConfig,
+    slip_x: np.ndarray | None = None,
+    slip_y: np.ndarray | None = None,
+) -> np.ndarray:
     """One fused stream+collide step: pull, then bounce-back on wall
     sites / BGK relax on fluid sites (src/latticeboltzmann.c:216-302).
-    Wall-site f0 passes through (see module docstring)."""
+    Wall-site f0 passes through (see module docstring).
+
+    slip_x / slip_y are optional masks of free-slip (specular-reflection)
+    solid sites whose wall plane is normal to x / y — the "reflect" BC the
+    reference names but never implements (src/latticeboltzmann.c:21).
+    Precedence on overlap: walls > slip_x > slip_y.
+    """
     pulled = pull(f)
     relaxed = collide(pulled, cfg)
     out = np.empty_like(f)
     for s in range(NSPEEDS):
-        bb = pulled[OPPOSITE[s]]
-        out[s] = np.where(walls, bb, relaxed[s])
+        val = relaxed[s]
+        if slip_y is not None:
+            val = np.where(slip_y, pulled[REFLECT_Y[s]], val)
+        if slip_x is not None:
+            val = np.where(slip_x, pulled[REFLECT_X[s]], val)
+        out[s] = np.where(walls, pulled[OPPOSITE[s]], val)
     # speed 0: pulled[OPPOSITE[0]] == pulled[0] == own f0, i.e. passthrough.
     return out
 
 
-def step(f: np.ndarray, walls: np.ndarray, cfg: LatticeConfig) -> np.ndarray:
+def step(
+    f: np.ndarray,
+    walls: np.ndarray,
+    cfg: LatticeConfig,
+    slip_x: np.ndarray | None = None,
+    slip_y: np.ndarray | None = None,
+) -> np.ndarray:
     """One full timestep = ApplySource then StreamCollide
-    (src/latticeboltzmann.c:192-198)."""
-    return stream_collide(apply_source(f, walls, cfg), walls, cfg)
+    (src/latticeboltzmann.c:192-198). Slip sites are solid for forcing
+    purposes too, so the source skips them like walls."""
+    solid = walls
+    if slip_x is not None:
+        solid = solid | slip_x
+    if slip_y is not None:
+        solid = solid | slip_y
+    return stream_collide(apply_source(f, solid, cfg), walls, cfg, slip_x, slip_y)
 
 
-def run(f: np.ndarray, walls: np.ndarray, cfg: LatticeConfig, n_steps: int) -> np.ndarray:
+def run(
+    f: np.ndarray,
+    walls: np.ndarray,
+    cfg: LatticeConfig,
+    n_steps: int,
+    slip_x: np.ndarray | None = None,
+    slip_y: np.ndarray | None = None,
+) -> np.ndarray:
     for _ in range(n_steps):
-        f = step(f, walls, cfg)
+        f = step(f, walls, cfg, slip_x, slip_y)
     return f
 
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.spec import E, NSPEEDS, OPPOSITE, W, LatticeConfig
+from ..core.spec import E, NSPEEDS, OPPOSITE, REFLECT_X, REFLECT_Y, W, LatticeConfig
 
 
 def _const(cfg: LatticeConfig, x: float):
@@ -97,30 +97,65 @@ def collide(pulled: jax.Array, cfg: LatticeConfig) -> jax.Array:
     return jnp.stack(out)
 
 
-def stream_collide(f: jax.Array, walls: jax.Array, cfg: LatticeConfig) -> jax.Array:
+def stream_collide(
+    f: jax.Array,
+    walls: jax.Array,
+    cfg: LatticeConfig,
+    slip_x: jax.Array | None = None,
+    slip_y: jax.Array | None = None,
+) -> jax.Array:
     """One fused step on the full lattice: pull, BGK relax on fluid,
     bounce-back swap on walls, wall f0 passthrough
-    (src/latticeboltzmann.c:216-302)."""
+    (src/latticeboltzmann.c:216-302).
+
+    slip_x / slip_y: optional masks of free-slip (specular-reflection)
+    solid sites with wall plane normal to x / y — the "reflect" BC the
+    reference names but never implements (src/latticeboltzmann.c:21).
+    Precedence on overlap: walls > slip_x > slip_y. All selects are
+    branchless, so the slip paths cost two extra vectorized wheres.
+    """
     pulled = pull(f)
-    relaxed = collide(pulled, cfg)
-    bounced = pulled[np.asarray(OPPOSITE)]
-    return jnp.where(walls[None, :, :], bounced, relaxed)
+    out = collide(pulled, cfg)
+    if slip_y is not None:
+        out = jnp.where(slip_y[None, :, :], pulled[np.asarray(REFLECT_Y)], out)
+    if slip_x is not None:
+        out = jnp.where(slip_x[None, :, :], pulled[np.asarray(REFLECT_X)], out)
+    return jnp.where(walls[None, :, :], pulled[np.asarray(OPPOSITE)], out)
 
 
-def step(f: jax.Array, walls: jax.Array, cfg: LatticeConfig) -> jax.Array:
+def step(
+    f: jax.Array,
+    walls: jax.Array,
+    cfg: LatticeConfig,
+    slip_x: jax.Array | None = None,
+    slip_y: jax.Array | None = None,
+) -> jax.Array:
     """One timestep: ApplySource then StreamCollide
-    (src/latticeboltzmann.c:192-198)."""
-    return stream_collide(apply_source(f, walls, cfg), walls, cfg)
+    (src/latticeboltzmann.c:192-198). Slip sites are solid for the
+    forcing too, so the source skips them like walls."""
+    solid = walls
+    if slip_x is not None:
+        solid = solid | slip_x
+    if slip_y is not None:
+        solid = solid | slip_y
+    return stream_collide(apply_source(f, solid, cfg), walls, cfg, slip_x, slip_y)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(0,))
-def run_steps(f: jax.Array, walls: jax.Array, cfg: LatticeConfig, n_steps: int) -> jax.Array:
+def run_steps(
+    f: jax.Array,
+    walls: jax.Array,
+    cfg: LatticeConfig,
+    n_steps: int,
+    slip_x: jax.Array | None = None,
+    slip_y: jax.Array | None = None,
+) -> jax.Array:
     """n_steps timesteps under one jit(scan) — zero host round-trips,
     the TPU analog of the reference's two-steps-per-call loop
     (src/latticeboltzmann.c:148-164)."""
 
     def body(carry, _):
-        return step(carry, walls, cfg), None
+        return step(carry, walls, cfg, slip_x, slip_y), None
 
     out, _ = jax.lax.scan(body, f, length=n_steps)
     return out
