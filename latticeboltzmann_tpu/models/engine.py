@@ -133,6 +133,44 @@ class Simulation:
         self.steps_done += n_steps
         return self
 
+    def run_probed(
+        self, n_steps: int, probes: np.ndarray, *, every: int = 1, block: bool = True
+    ) -> np.ndarray:
+        """Advance n_steps while recording (rho, u_x, u_y) at probe sites
+        every `every` steps. probes: (P, 2) int (i, j) sites. Returns the
+        series as (n_steps // every, P, 3). All sampling happens on device;
+        the series is fetched once at the end.
+
+        On the 'xla' backend with every == 1 the whole run is a single
+        jit(scan) with the probe gather fused into each step. Other
+        backends (e.g. the temporally-blocked Pallas kernel, whose T-step
+        HBM pass has no per-step state to sample) run in `every`-step
+        chunks with a device-side probe gather between chunks.
+        """
+        if n_steps % every:
+            raise ValueError(f"n_steps={n_steps} not divisible by every={every}")
+        probes = jnp.asarray(np.asarray(probes), jnp.int32)
+        if probes.ndim != 2 or probes.shape[1] != 2:
+            raise ValueError(f"probes must be (P, 2) (i, j) sites, got {probes.shape}")
+        if every == 1 and self.backend == "xla":
+            t0 = time.perf_counter()
+            self.f, series = xla_ops.run_steps_probed(
+                self.f, self.walls, self.cfg, n_steps, probes, self.slip_x, self.slip_y
+            )
+            if block:
+                float(jnp.sum(series[-1]))
+            self.elapsed += time.perf_counter() - t0
+            self.steps_done += n_steps
+        else:
+            chunks = []
+            for _ in range(n_steps // every):
+                self.run(every, block=False)
+                chunks.append(xla_ops.probe_values(self.f, probes))
+            series = jnp.stack(chunks)
+            if block:
+                float(jnp.sum(series[-1]))
+        return np.asarray(series)
+
     def state(self) -> np.ndarray:
         return np.asarray(self.f)
 

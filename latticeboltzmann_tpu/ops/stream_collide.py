@@ -161,6 +161,42 @@ def run_steps(
     return out
 
 
+def probe_values(f: jax.Array, probes: jax.Array) -> jax.Array:
+    """(rho, u_x, u_y) at probe sites. probes: (P, 2) int32 of (i, j).
+    Returns (P, 3). Nine point-gathers + moments — cheap enough to run
+    every step inside the scan."""
+    cols = f[:, probes[:, 0], probes[:, 1]]  # (9, P)
+    density = cols[0]
+    for s in range(1, NSPEEDS):
+        density = density + cols[s]
+    u_x = ((cols[6] + cols[2]) + cols[5] - ((cols[7] + cols[4]) + cols[8])) / density
+    u_y = ((cols[5] + cols[1]) + cols[8] - ((cols[6] + cols[3]) + cols[7])) / density
+    return jnp.stack([density, u_x, u_y], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(0,))
+def run_steps_probed(
+    f: jax.Array,
+    walls: jax.Array,
+    cfg: LatticeConfig,
+    n_steps: int,
+    probes: jax.Array,
+    slip_x: jax.Array | None = None,
+    slip_y: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """run_steps plus a per-step observable stream: after each step the
+    scan emits (rho, u_x, u_y) at the probe sites, accumulated on device
+    into a (n_steps, P, 3) series — the time-resolved equivalent of the
+    reference's offline PrintLattice dumps (src/latticeboltzmann.c:610-639)
+    with zero host round-trips during the run."""
+
+    def body(carry, _):
+        nf = step(carry, walls, cfg, slip_x, slip_y)
+        return nf, probe_values(nf, probes)
+
+    return jax.lax.scan(body, f, length=n_steps)
+
+
 def macroscopic(f: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """On-device rho, u_x, u_y extraction (src/latticeboltzmann.c:620-631)."""
     density = f[0]

@@ -1,0 +1,84 @@
+"""On-device probe time series (Simulation.run_probed).
+
+The reference's only observability during a run is the per-1000-step
+stdout report and offline CSV dumps (src/latticeboltzmann.c:610-662);
+run_probed provides time-resolved (rho, u_x, u_y) at chosen sites with
+all sampling on device. Tests: series matches a step-by-step golden
+recomputation, probing leaves the trajectory itself untouched, and the
+chunked path (non-xla backends / every>1) agrees with the fused path.
+"""
+
+import numpy as np
+import pytest
+
+from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+from latticeboltzmann_tpu.models import golden
+
+
+PROBES = np.array([[5, 7], [12, 30], [1, 0]], dtype=np.int32)
+
+
+def _golden_series(cfg, walls, n_steps, probes):
+    f = golden.initial_state(cfg)
+    rows = []
+    for _ in range(n_steps):
+        f = golden.step(f, walls, cfg)
+        rho, ux, uy = golden.macroscopic(f)
+        rows.append(
+            np.stack(
+                [rho[probes[:, 0], probes[:, 1]],
+                 ux[probes[:, 0], probes[:, 1]],
+                 uy[probes[:, 0], probes[:, 1]]],
+                axis=-1,
+            )
+        )
+    return f, np.stack(rows)
+
+
+def test_probed_series_matches_golden(small_cfg, small_walls):
+    sim = Simulation(small_cfg, small_walls, backend="xla")
+    series = sim.run_probed(6, PROBES)
+    f_ref, series_ref = _golden_series(small_cfg, small_walls, 6, PROBES)
+    assert series.shape == (6, 3, 3)
+    np.testing.assert_allclose(series, series_ref, rtol=0, atol=1e-13)
+    # probing must not perturb the trajectory
+    np.testing.assert_allclose(sim.state(), f_ref, rtol=0, atol=1e-13)
+    assert sim.steps_done == 6
+
+
+def test_probed_equals_unprobed_state(small_cfg, small_walls):
+    a = Simulation(small_cfg, small_walls, backend="xla")
+    a.run_probed(5, PROBES)
+    b = Simulation(small_cfg, small_walls, backend="xla")
+    b.run(5)
+    np.testing.assert_array_equal(a.state(), b.state())
+
+
+def test_chunked_probing_matches_fused(small_cfg, small_walls):
+    """every=2 chunked path (used by non-xla backends) samples the same
+    states as every other row of the fused per-step series."""
+    fused = Simulation(small_cfg, small_walls, backend="xla")
+    series1 = fused.run_probed(8, PROBES)
+    chunked = Simulation(small_cfg, small_walls, backend="xla")
+    series2 = chunked.run_probed(8, PROBES, every=2)
+    assert series2.shape == (4, 3, 3)
+    np.testing.assert_allclose(series2, series1[1::2], rtol=0, atol=1e-13)
+
+
+def test_probing_on_pallas_backend(small_walls):
+    """The chunked path works on the Pallas kernel (interpret mode on CPU)
+    and agrees with the xla backend to f32 tolerance."""
+    cfg = LatticeConfig(nx=24, ny=40, dtype=np.float32)
+    pal = Simulation(cfg, small_walls, backend="pallas-interpret")
+    series_p = pal.run_probed(4, PROBES, every=2)
+    ref = Simulation(cfg, small_walls, backend="xla")
+    series_x = ref.run_probed(4, PROBES, every=2)
+    np.testing.assert_allclose(series_p, series_x, rtol=1e-5, atol=1e-7)
+
+
+def test_probe_validation(small_cfg, small_walls):
+    sim = Simulation(small_cfg, small_walls, backend="xla")
+    with pytest.raises(ValueError):
+        sim.run_probed(5, PROBES, every=2)  # 5 % 2 != 0
+    with pytest.raises(ValueError):
+        sim.run_probed(4, np.array([1, 2, 3]))  # bad shape
