@@ -29,6 +29,11 @@ def register_backend(name: str, run_steps: Callable) -> None:
 register_backend("xla", xla_ops.run_steps)
 
 
+# backends that accept a wall_spec kwarg (parametric in-kernel geometry,
+# no walls DMA — see ops/fused_kernel.py)
+_WALL_SPEC_BACKENDS = {"pallas", "pallas-interpret"}
+
+
 def _register_pallas():
     from ..ops import fused_kernel
 
@@ -36,7 +41,7 @@ def _register_pallas():
     # interpreter-mode variant for CPU correctness tests
     register_backend(
         "pallas-interpret",
-        lambda f, w, cfg, n: fused_kernel.run_steps(f, w, cfg, n, interpret=True),
+        lambda f, w, cfg, n, **kw: fused_kernel.run_steps(f, w, cfg, n, interpret=True, **kw),
     )
 
 
@@ -106,6 +111,13 @@ class Simulation:
         self._run_steps = _BACKENDS[backend]
         self.walls_np = np.asarray(walls, dtype=bool)
         self.walls = jnp.asarray(self.walls_np)
+        # closed-form geometry spec (None for arbitrary masks): lets the
+        # Pallas kernel compute the mask in-kernel instead of DMA'ing it
+        self.wall_spec = (
+            geometry.infer_spec(self.walls_np)
+            if backend in _WALL_SPEC_BACKENDS
+            else None
+        )
         self.slip_x = None if slip_x is None else jnp.asarray(slip_x, bool)
         self.slip_y = None if slip_y is None else jnp.asarray(slip_y, bool)
         f_init = initial_state(cfg) if f0 is None else np.asarray(f0, np.dtype(cfg.dtype))
@@ -121,6 +133,10 @@ class Simulation:
         if self.slip_x is not None or self.slip_y is not None:
             self.f = xla_ops.run_steps(
                 self.f, self.walls, self.cfg, n_steps, self.slip_x, self.slip_y
+            )
+        elif self.wall_spec is not None:
+            self.f = self._run_steps(
+                self.f, self.walls, self.cfg, n_steps, wall_spec=self.wall_spec
             )
         else:
             self.f = self._run_steps(self.f, self.walls, self.cfg, n_steps)

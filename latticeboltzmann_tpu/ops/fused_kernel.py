@@ -41,15 +41,24 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _vmem_need(br: int, slots: int, nyp: int, itemsize: int, temporal: int) -> int:
-    # staging slots + double-buffered output + ~2 live compute windows
-    return (slots * 9 * br + 2 * 9 * br + 2 * 9 * (br + 2 * temporal)) * nyp * itemsize
+def _vmem_need(
+    br: int, slots: int, nyp: int, itemsize: int, temporal: int, walls_dma: bool = True
+) -> int:
+    # staging slots + double-buffered output + ~2 live compute windows;
+    # the walls slots (slots * br * nyp * 4B) exist only on the mask-DMA
+    # path — parametric wall specs compute the mask from iotas instead
+    need = (slots * 9 * br + 2 * 9 * br + 2 * 9 * (br + 2 * temporal)) * nyp * itemsize
+    if walls_dma:
+        need += slots * br * nyp * 4
+    return need
 
 
 VMEM_BUDGET = 80 * 1024 * 1024
 
 
-def pick_block_config(nx: int, nyp: int, itemsize: int = 4, temporal: int = 4) -> tuple[int, int]:
+def pick_block_config(
+    nx: int, nyp: int, itemsize: int = 4, temporal: int = 4, walls_dma: bool = True
+) -> tuple[int, int]:
     """(block_rows, staging_slots): the largest block of (32, 24, 16, 8)
     dividing NX that fits the VMEM budget, with 6 staging slots when
     affordable (deeper DMA prefetch lead) else 4. BR=32/6 measured
@@ -59,7 +68,7 @@ def pick_block_config(nx: int, nyp: int, itemsize: int = 4, temporal: int = 4) -
         if nx % br:
             continue
         for slots in (6, 4):
-            if _vmem_need(br, slots, nyp, itemsize, temporal) <= VMEM_BUDGET:
+            if _vmem_need(br, slots, nyp, itemsize, temporal, walls_dma) <= VMEM_BUDGET:
                 return br, slots
     return 0, 0
 
@@ -95,6 +104,7 @@ def _make_kernel(
     temporal: int = 1,
     external_halo: bool = False,
     slots: int = 6,
+    wall_spec=None,
 ):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
@@ -117,7 +127,16 @@ def _make_kernel(
     inputs — T rows of f and walls from each x-neighbor device
     (delivered by ppermute, the reference's MPI boundary-row exchange,
     README.md:45) — and patches them into the resident edge slots.
+
+    wall_spec (a geometry.infer_spec tuple) jit-specializes the kernel
+    on a closed-form geometry: the wall mask is computed from iotas in
+    VMEM and the walls plane is never DMA'd from HBM — removing ~5% of
+    the pass traffic and the walls VMEM slots. This is the runtime
+    equivalent of the reference baking its geometry into the binary at
+    compile time (src/latticeboltzmann.c:567-578).
     """
+    if wall_spec is not None and external_halo:
+        raise NotImplementedError("wall_spec is not plumbed into the sharded kernel yet")
     ny = cfg.ny
     n_blocks = nx // br
     T = temporal
@@ -163,6 +182,9 @@ def _make_kernel(
         del donor_hbm
         if external_halo:
             htop, hbot, whtop, whbot, out_ref, fbody, wbody, sems = rest
+        elif wall_spec is not None:
+            out_ref, fbody, sems = rest
+            wbody = None
         else:
             out_ref, fbody, wbody, sems = rest
         i = pl.program_id(0)
@@ -178,18 +200,22 @@ def _make_kernel(
                 blk = _rem(k + (n_blocks - 1), n_blocks)
             slot = _rem(k, SLOTS)
             r0 = blk * jnp.int32(br)
-            return (
+            out = [
                 pltpu.make_async_copy(
                     f_hbm.at[:, pl.ds(r0, br), :],
                     fbody.at[slot],
                     sems.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    walls_hbm.at[pl.ds(r0, br), :],
-                    wbody.at[slot],
-                    sems.at[slot, 1],
-                ),
-            )
+                )
+            ]
+            if wbody is not None:
+                out.append(
+                    pltpu.make_async_copy(
+                        walls_hbm.at[pl.ds(r0, br), :],
+                        wbody.at[slot],
+                        sems.at[slot, 1],
+                    )
+                )
+            return out
 
         def start(k):
             for c in copies(k):
@@ -334,12 +360,41 @@ def _make_kernel(
             ).astype(dtype)
             for s in range(NSPEEDS)
         ]
-        wall = (
-            jnp.concatenate(
-                [wbody[s_top, br - T :], wbody[s_body], wbody[s_bot, :T]], axis=0
+        if wall_spec is None:
+            wall = (
+                jnp.concatenate(
+                    [wbody[s_top, br - T :], wbody[s_body], wbody[s_bot, :T]], axis=0
+                )
+                > zero
             )
-            > zero
-        )
+        else:
+            # closed-form mask from iotas — no walls DMA. Window rows are
+            # global rows [i*br - T, i*br + br + T) with periodic wrap;
+            # padding lanes (col >= ny) are solid, as pad_state marks them.
+            R = br + 2 * T
+            row0 = i * jnp.int32(br) - jnp.int32(T) + jnp.int32(nx)
+            rows = _rem(row0 + jax.lax.broadcasted_iota(jnp.int32, (R, nyp), 0), nx)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (R, nyp), 1)
+            wall = cols >= jnp.int32(ny)
+            for prim in wall_spec:
+                kind = prim[0]
+                if kind == "channel":
+                    wall |= (rows == 0) | (rows == jnp.int32(nx - 1))
+                elif kind == "rect":
+                    _, pr0, pr1, pc0, pc1 = prim
+                    wall |= (
+                        (rows >= jnp.int32(pr0))
+                        & (rows < jnp.int32(pr1))
+                        & (cols >= jnp.int32(pc0))
+                        & (cols < jnp.int32(pc1))
+                    )
+                elif kind == "circle2":
+                    _, ci2, cj2, r2q = prim
+                    di = 2 * rows - jnp.int32(ci2)
+                    dj = 2 * cols - jnp.int32(cj2)
+                    wall |= di * di + dj * dj <= jnp.int32(r2q)
+                else:
+                    raise ValueError(f"unknown wall-spec primitive {kind!r}")
 
         # advance T steps in VMEM, trimming one invalid row per side per
         # step (forcing precedes every step: src/latticeboltzmann.c:192,201)
@@ -364,6 +419,7 @@ def make_step(
     temporal: int = 1,
     external_halo: bool = False,
     slots: int | None = None,
+    wall_spec=None,
 ):
     """Jittable padded-state half-step:
     (f_src, dst_donor, walls_padded_f32) -> f_new, where f_new reuses
@@ -376,9 +432,16 @@ def make_step(
     """
     dtype = np.dtype(cfg.dtype).type
     itemsize = np.dtype(cfg.dtype).itemsize
+    walls_dma = wall_spec is None
     if slots is None:
-        slots = 6 if _vmem_need(br, 6, nyp, itemsize, temporal) <= VMEM_BUDGET else 4
-    kernel = _make_kernel(cfg, nx, nyp, br, dtype, temporal, external_halo, slots)
+        slots = (
+            6
+            if _vmem_need(br, 6, nyp, itemsize, temporal, walls_dma) <= VMEM_BUDGET
+            else 4
+        )
+    kernel = _make_kernel(
+        cfg, nx, nyp, br, dtype, temporal, external_halo, slots, wall_spec
+    )
     n_blocks = nx // br
 
     in_specs = [
@@ -407,11 +470,11 @@ def make_step(
             (NSPEEDS, br, nyp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         input_output_aliases={1: 0},
-        scratch_shapes=[
-            pltpu.VMEM((slots, NSPEEDS, br, nyp), cfg.dtype),   # rotating body slots
-            pltpu.VMEM((slots, br, nyp), jnp.float32),          # walls slots
-            pltpu.SemaphoreType.DMA((slots, 2)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((slots, NSPEEDS, br, nyp), cfg.dtype)]  # rotating body slots
+            + ([pltpu.VMEM((slots, br, nyp), jnp.float32)] if walls_dma else [])
+            + [pltpu.SemaphoreType.DMA((slots, 2 if walls_dma else 1))]
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # raise the default 16MB scoped-vmem cap so larger row blocks
@@ -420,7 +483,7 @@ def make_step(
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(124 * nx * nyp * temporal),
-            bytes_accessed=int((2 * NSPEEDS * itemsize + 4) * nx * nyp),
+            bytes_accessed=int((2 * NSPEEDS * itemsize + (4 if walls_dma else 0)) * nx * nyp),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -449,11 +512,19 @@ DEFAULT_TEMPORAL = 4
 
 
 @functools.lru_cache(maxsize=64)
-def _make_runner(cfg: LatticeConfig, nx: int, nyp: int, br: int, interpret: bool, temporal: int):
+def _make_runner(
+    cfg: LatticeConfig,
+    nx: int,
+    nyp: int,
+    br: int,
+    interpret: bool,
+    temporal: int,
+    wall_spec=None,
+):
     """One persistent jitted runner per configuration: advances
     2*temporal*n_pairs steps with a dynamic pair count (fori_loop), so
     changing the step count never recompiles."""
-    stepT = make_step(cfg, nx, nyp, br, interpret, temporal)
+    stepT = make_step(cfg, nx, nyp, br, interpret, temporal, wall_spec=wall_spec)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def runner(f_p, scratch, walls_p, n_pairs):
@@ -477,6 +548,7 @@ def run_steps(
     *,
     interpret: bool = False,
     temporal: int | None = None,
+    wall_spec=None,
 ):
     """Simulation-backend adapter: unpadded in, unpadded out.
 
@@ -488,7 +560,12 @@ def run_steps(
     statically-unrolled single-step passes.
     """
     nx = f.shape[1]
-    br = pick_block_rows(nx, round_up(cfg.ny, LANE), np.dtype(cfg.dtype).itemsize)
+    br = pick_block_config(
+        nx,
+        round_up(cfg.ny, LANE),
+        np.dtype(cfg.dtype).itemsize,
+        walls_dma=wall_spec is None,
+    )[0]
     if br == 0 or np.dtype(cfg.dtype) == np.float64:
         # odd shapes, and float64 (software-emulated on TPU — a
         # correctness config, not a perf config; SURVEY.md section 7
@@ -502,20 +579,28 @@ def run_steps(
         temporal = 1 if interpret else min(DEFAULT_TEMPORAL, br)
     nyp = round_up(cfg.ny, LANE)
     f_p, walls_p = pad_state(f, walls, cfg)
-    runner = _make_runner(cfg, nx, nyp, br, interpret, temporal)
+    runner = _make_runner(cfg, nx, nyp, br, interpret, temporal, wall_spec)
 
     n_pairs = n_steps // (2 * temporal)
     a, b = runner(f_p, jnp.zeros_like(f_p), walls_p, n_pairs)
     rem = n_steps % (2 * temporal)
     if rem:
-        rem_runner = _make_rem_runner(cfg, nx, nyp, br, interpret, rem)
+        rem_runner = _make_rem_runner(cfg, nx, nyp, br, interpret, rem, wall_spec)
         a = rem_runner(a, b, walls_p)
     return a[:, :, : cfg.ny]
 
 
 @functools.lru_cache(maxsize=64)
-def _make_rem_runner(cfg: LatticeConfig, nx: int, nyp: int, br: int, interpret: bool, rem: int):
-    step1 = make_step(cfg, nx, nyp, br, interpret, 1)
+def _make_rem_runner(
+    cfg: LatticeConfig,
+    nx: int,
+    nyp: int,
+    br: int,
+    interpret: bool,
+    rem: int,
+    wall_spec=None,
+):
+    step1 = make_step(cfg, nx, nyp, br, interpret, 1, wall_spec=wall_spec)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def rem_runner(a, b, walls_p):

@@ -207,3 +207,59 @@ def test_zero_accel_is_stationary():
     out = _run_pallas(cfg, walls, 10)
     ref = np.asarray(initial_state(cfg))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-8)
+
+
+# --- parametric wall-spec kernel path (no walls DMA) -----------------------
+
+
+@pytest.mark.parametrize("geom", ["barrier", "cylinder", "channel", "empty"])
+def test_wall_spec_bitwise_equals_dma_path(geom):
+    """The jit-specialized geometry path (in-kernel iota mask, walls
+    plane never DMA'd) must be bitwise identical to the mask-DMA path
+    on every closed-form scene."""
+    cfg = LatticeConfig(nx=32, ny=200, dtype=np.float32)
+    walls = geometry.build(geom, cfg.nx, cfg.ny)
+    spec = geometry.infer_spec(walls)
+    assert spec is not None
+    f0 = jnp.asarray(initial_state(cfg))
+    a = np.asarray(fk.run_steps(f0, jnp.asarray(walls), cfg, 5, interpret=True))
+    b = np.asarray(
+        fk.run_steps(f0, jnp.asarray(walls), cfg, 5, interpret=True, wall_spec=spec)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_wall_spec_temporal_blocking_bitwise():
+    cfg = LatticeConfig(nx=64, ny=200, dtype=np.float32)
+    walls = geometry.build("barrier", cfg.nx, cfg.ny)
+    spec = geometry.infer_spec(walls)
+    f0 = jnp.asarray(initial_state(cfg))
+    a = np.asarray(fk.run_steps(f0, jnp.asarray(walls), cfg, 8, interpret=True, temporal=4))
+    b = np.asarray(
+        fk.run_steps(f0, jnp.asarray(walls), cfg, 8, interpret=True, temporal=4, wall_spec=spec)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_simulation_auto_infers_wall_spec():
+    """The facade engages the spec path automatically for parametric
+    scenes on pallas backends, and falls back to mask DMA for arbitrary
+    masks — with identical physics either way."""
+    cfg = LatticeConfig(nx=24, ny=40, dtype=np.float32)
+    walls = geometry.channel_with_barrier(
+        cfg.nx, cfg.ny, barrier_rows=(8, 14), barrier_cols=(10, 13)
+    )
+    sim = Simulation(cfg, walls, backend="pallas-interpret")
+    assert sim.wall_spec == (("channel",), ("rect", 8, 14, 10, 13))
+
+    arbitrary = walls.copy()
+    arbitrary[20, 30] = True  # second blob: not closed-form
+    sim2 = Simulation(cfg, arbitrary, backend="pallas-interpret")
+    assert sim2.wall_spec is None
+
+    # spec path == DMA path through the facade
+    sim.run(4)
+    ref = Simulation(cfg, walls, backend="pallas-interpret")
+    ref.wall_spec = None
+    ref.run(4)
+    np.testing.assert_array_equal(sim.state(), ref.state())
