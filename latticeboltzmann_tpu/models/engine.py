@@ -31,7 +31,12 @@ register_backend("xla", xla_ops.run_steps)
 
 # backends that accept a wall_spec kwarg (parametric in-kernel geometry,
 # no walls DMA — see ops/fused_kernel.py)
-_WALL_SPEC_BACKENDS = {"pallas", "pallas-interpret"}
+_WALL_SPEC_BACKENDS = {
+    "pallas",
+    "pallas-interpret",
+    "sharded-pallas",
+    "sharded-pallas-interpret",
+}
 
 
 def _register_pallas():

@@ -133,10 +133,11 @@ def _make_kernel(
     VMEM and the walls plane is never DMA'd from HBM — removing ~5% of
     the pass traffic and the walls VMEM slots. This is the runtime
     equivalent of the reference baking its geometry into the binary at
-    compile time (src/latticeboltzmann.c:567-578).
+    compile time (src/latticeboltzmann.c:567-578). In the external_halo
+    (sharded) variant the kernel takes the shard's global row offset as
+    an SMEM scalar and builds the mask in global-row coordinates, which
+    also removes the wall-halo exchanges and patches.
     """
-    if wall_spec is not None and external_halo:
-        raise NotImplementedError("wall_spec is not plumbed into the sharded kernel yet")
     ny = cfg.ny
     n_blocks = nx // br
     T = temporal
@@ -180,7 +181,10 @@ def _make_kernel(
         # buffers with zero copies — the XLA-buffer-level equivalent of
         # the reference's fA/fB pointer swap (src/latticeboltzmann.c:186-210)
         del donor_hbm
-        if external_halo:
+        if external_halo and wall_spec is not None:
+            htop, hbot, off_ref, out_ref, fbody, sems = rest
+            wbody = None
+        elif external_halo:
             htop, hbot, whtop, whbot, out_ref, fbody, wbody, sems = rest
         elif wall_spec is not None:
             out_ref, fbody, sems = rest
@@ -251,14 +255,16 @@ def _make_kernel(
             def _():
                 for s in range(NSPEEDS):
                     fbody[0, s, br - T :, :] = htop[s]
-                wbody[0, br - T :, :] = whtop[...]
+                if wbody is not None:
+                    wbody[0, br - T :, :] = whtop[...]
 
             @pl.when(i == n_blocks - 1)
             def _():
                 slot_last = (n_blocks + 1) % SLOTS
                 for s in range(NSPEEDS):
                     fbody[slot_last, s, :T, :] = hbot[s]
-                wbody[slot_last, :T, :] = whbot[...]
+                if wbody is not None:
+                    wbody[slot_last, :T, :] = whbot[...]
 
         s_top = _rem(i, SLOTS)      # holds block i-1: its last row is our top halo
         s_body = _rem(i + 1, SLOTS)  # block i
@@ -369,17 +375,23 @@ def _make_kernel(
             )
         else:
             # closed-form mask from iotas — no walls DMA. Window rows are
-            # global rows [i*br - T, i*br + br + T) with periodic wrap;
-            # padding lanes (col >= ny) are solid, as pad_state marks them.
+            # global rows [base - T, base + br + T) with periodic wrap at
+            # the *global* row count (the shard offset arrives in SMEM on
+            # the sharded variant); padding lanes (col >= ny) are solid,
+            # as pad_state marks them.
             R = br + 2 * T
-            row0 = i * jnp.int32(br) - jnp.int32(T) + jnp.int32(nx)
-            rows = _rem(row0 + jax.lax.broadcasted_iota(jnp.int32, (R, nyp), 0), nx)
+            wrap_n = cfg.nx if external_halo else nx
+            base = i * jnp.int32(br)
+            if external_halo:
+                base = base + off_ref[0]
+            row0 = base - jnp.int32(T) + jnp.int32(wrap_n)
+            rows = _rem(row0 + jax.lax.broadcasted_iota(jnp.int32, (R, nyp), 0), wrap_n)
             cols = jax.lax.broadcasted_iota(jnp.int32, (R, nyp), 1)
             wall = cols >= jnp.int32(ny)
             for prim in wall_spec:
                 kind = prim[0]
                 if kind == "channel":
-                    wall |= (rows == 0) | (rows == jnp.int32(nx - 1))
+                    wall |= (rows == 0) | (rows == jnp.int32(wrap_n - 1))
                 elif kind == "rect":
                     _, pr0, pr1, pc0, pc1 = prim
                     wall |= (
@@ -457,9 +469,15 @@ def make_step(
         in_specs += [
             pl.BlockSpec((NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, nyp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, nyp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
+        if walls_dma:
+            in_specs += [
+                pl.BlockSpec((T, nyp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, nyp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ]
+        else:
+            # shard's global row offset, (1,) int32 in SMEM
+            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
     step = pl.pallas_call(
         kernel,

