@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render snapshots to this gif after the run")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--checkpoint-format", choices=("raw", "orbax"), default="raw")
+    p.add_argument("--probe", action="append", default=None, metavar="I,J",
+                   help="record (rho,u_x,u_y) at site i,j every "
+                        "--probe-every steps (repeatable)")
+    p.add_argument("--probe-every", type=int, default=100)
+    p.add_argument("--probe-out", default="probes.csv")
     p.add_argument("--resume", default=None,
                    help="path to a .lbmckpt directory (or 'latest')")
     p.add_argument("--profile-dir", default=None,
@@ -125,19 +131,33 @@ def main(argv=None) -> int:
     if args.warmup:
         # absorb kernel compilation outside the timed run, then restore
         # the state (the reference has no compile phase to exclude).
-        # copy first: some backends donate their input buffer.
+        # copy first: some backends donate their input buffer. Go through
+        # sim.run so the warmed kernel variant (wall_spec etc.) is the
+        # one the timed run uses.
         import jax.numpy as jnp
 
         f_before = jnp.array(sim.f, copy=True)
-        sim.f = sim._run_steps(sim.f, sim.walls, sim.cfg, args.warmup)
-        float(jnp.sum(sim.f[0, 0, :8]))
+        sim.run(args.warmup)
         sim.f = f_before
+        sim.steps_done = 0
+        sim.elapsed = 0.0
+
+    probes = None
+    probe_rows = []
+    if args.probe:
+        import jax.numpy as jnp
+
+        probes = jnp.asarray(
+            np.array([[int(v) for v in p.split(",")] for p in args.probe]), jnp.int32
+        )
 
     reporter = stats.RunStats(cfg, total_steps=args.steps)
-    # chunked run: stats/snapshots/checkpoints between on-device scans —
-    # the loop structure of main() (src/latticeboltzmann.c:148-164)
+    # chunked run: stats/snapshots/checkpoints/probes between on-device
+    # scans — the loop structure of main() (src/latticeboltzmann.c:148-164)
     events = sorted({e for e in (args.print_stats_every, args.save_lattice_every,
-                                 args.checkpoint_every) if e} | {args.steps})
+                                 args.checkpoint_every,
+                                 args.probe_every if probes is not None else 0)
+                     if e} | {args.steps})
     chunk = min(events) if events else args.steps
     step = start_step
     t0 = time.perf_counter()
@@ -150,7 +170,12 @@ def main(argv=None) -> int:
         if args.save_lattice_every and step % args.save_lattice_every == 0:
             viz.save_snapshot(args.snapshot_dir, step, sim.f)
         if args.checkpoint_every and step % args.checkpoint_every == 0:
-            checkpoint.save(args.checkpoint_dir, step, sim.state(), sim.walls_np, cfg)
+            checkpoint.save(args.checkpoint_dir, step, sim.state(), sim.walls_np, cfg,
+                            format=args.checkpoint_format)
+        if probes is not None and step % args.probe_every == 0:
+            from .ops import stream_collide as xla_ops
+
+            probe_rows.append((step, xla_ops.probe_values(sim.f, probes)))
 
     runtime = time.perf_counter() - t0
     if profile_cm:
@@ -158,6 +183,15 @@ def main(argv=None) -> int:
 
     stats.final_report(cfg, runtime, sim.reynolds())
     print(f"MLUPS: {sim.mlups:.1f}")
+
+    if probe_rows:
+        with open(args.probe_out, "w") as fp:
+            fp.write("step,i,j,rho,u_x,u_y\n")
+            sites = np.asarray(probes)
+            for s, vals in probe_rows:
+                for (pi, pj), (rho, ux, uy) in zip(sites, np.asarray(vals)):
+                    fp.write(f"{s},{pi},{pj},{float(rho)!r},{float(ux)!r},{float(uy)!r}\n")
+        print(f"probe series written to {args.probe_out}")
 
     if args.movie:
         out = viz.render_movie(args.snapshot_dir, args.movie)

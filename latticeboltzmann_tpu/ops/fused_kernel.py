@@ -44,16 +44,25 @@ def round_up(x: int, m: int) -> int:
 def _vmem_need(
     br: int, slots: int, nyp: int, itemsize: int, temporal: int, walls_dma: bool = True
 ) -> int:
-    # staging slots + double-buffered output + ~2 live compute windows;
-    # the walls slots (slots * br * nyp * 4B) exist only on the mask-DMA
-    # path — parametric wall specs compute the mask from iotas instead
-    need = (slots * 9 * br + 2 * 9 * br + 2 * 9 * (br + 2 * temporal)) * nyp * itemsize
+    # staging slots + double-buffered output in the storage dtype, plus
+    # ~2 live compute windows — ALWAYS float32 (bf16 storage computes in
+    # f32, so the window term must not shrink with itemsize; a bf16
+    # BR=32 at 16000 lanes compiled to 117MB scoped vmem and OOM'd when
+    # this term was counted at 2 bytes). The walls slots exist only on
+    # the mask-DMA path — parametric wall specs build the mask from
+    # iotas instead.
+    need = (slots * 9 * br + 2 * 9 * br) * nyp * itemsize
+    need += 2 * 9 * (br + 2 * temporal) * nyp * max(itemsize, 4)
     if walls_dma:
         need += slots * br * nyp * 4
     return need
 
 
-VMEM_BUDGET = 80 * 1024 * 1024
+# Sized against the 100MB vmem_limit_bytes with pipeline slack; 84MB (not
+# 80) so that BR=16/slots=4 at 16000 lanes still fits once the walls-slot
+# term is counted (it ran under the 100MB limit all along — the old 80MB
+# budget simply didn't account for walls).
+VMEM_BUDGET = 84 * 1024 * 1024
 
 
 def pick_block_config(
