@@ -1,4 +1,5 @@
-"""Benchmark suite — the five BASELINE.json configs, reproducing the
+"""Benchmark suite — the five BASELINE.json configs plus a bf16 variant,
+reproducing the
 reference's benchmark-table methodology (README.md:66-90,
 runtimes.dat / mpi-runtimes.dat): end-to-end runtime for N timesteps,
 MLUPS derived as NX*NY*steps/runtime/1e6.
