@@ -146,3 +146,17 @@ def test_sharded_pallas_wall_spec_bitwise():
         # global br=32) compile to different FMA contractions on CPU, so
         # agreement is ULP-level rather than bitwise
         np.testing.assert_allclose(spec_sim.state(), ref.state(), rtol=0, atol=1e-7)
+
+
+def test_dryrun_multichip_inline():
+    """The driver's multi-chip gate, inline: under the conftest's 8
+    virtual CPU devices dryrun_multichip must run in-process and pass
+    (it re-execs itself in a forced-CPU subprocess only when the ambient
+    backend can't provide the mesh)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
