@@ -119,9 +119,14 @@ def main(argv=None) -> int:
         walls = geometry.build(args.geometry, cfg.nx, cfg.ny)
         sim = Simulation(cfg, walls, backend=resolve_backend(args.backend))
 
-    mb = cfg.nx * cfg.ny * 9 * np.dtype(np.float32 if dtype == "bfloat16" else dtype).itemsize / 1024 / 1024
+    # size from the config actually used (on --resume the checkpoint's
+    # dtype wins over --precision)
+    mb = cfg.nx * cfg.ny * 9 * np.dtype(cfg.dtype).itemsize / 1024 / 1024
+    precision = {"float32": "f32", "float64": "f64", "bfloat16": "bf16"}.get(
+        np.dtype(cfg.dtype).name, str(np.dtype(cfg.dtype))
+    )
     print(f"Lattice Size: {cfg.nx}x{cfg.ny} ({mb:.2f} MB) "
-          f"backend={sim.backend} precision={args.precision}")
+          f"backend={sim.backend} precision={precision}")
 
     profile_cm = None
     if args.profile_dir:
@@ -153,16 +158,21 @@ def main(argv=None) -> int:
 
     reporter = stats.RunStats(cfg, total_steps=args.steps)
     # chunked run: stats/snapshots/checkpoints/probes between on-device
-    # scans — the loop structure of main() (src/latticeboltzmann.c:148-164)
-    events = sorted({e for e in (args.print_stats_every, args.save_lattice_every,
-                                 args.checkpoint_every,
-                                 args.probe_every if probes is not None else 0)
-                     if e} | {args.steps})
-    chunk = min(events) if events else args.steps
+    # scans — the loop structure of main() (src/latticeboltzmann.c:148-164).
+    # Each event fires at multiples of its own interval: every chunk runs
+    # to the earliest upcoming due step, so mixed intervals (e.g.
+    # --print-stats-every 300 --checkpoint-every 1000) and resumes from
+    # unaligned steps never skip an event.
+    intervals = [e for e in (args.print_stats_every, args.save_lattice_every,
+                             args.checkpoint_every,
+                             args.probe_every if probes is not None else 0)
+                 if e]
+    end = start_step + args.steps
     step = start_step
     t0 = time.perf_counter()
-    while step < start_step + args.steps:
-        n = min(chunk, start_step + args.steps - step)
+    while step < end:
+        due = [((step // e) + 1) * e for e in intervals]
+        n = min(due + [end]) - step
         sim.run(n)
         step += n
         if args.print_stats_every and step % args.print_stats_every == 0:

@@ -129,7 +129,14 @@ def infer_spec(walls: np.ndarray):
         if interior[r0:r1, c0:c1].all():
             spec.append(("rect", r0, r1, c0, c1))
         else:
-            # try an exact integer circle around the doubled centroid
+            # try an exact integer circle around the doubled centroid.
+            # The kernel evaluates (2i-ci2)^2 + (2j-cj2)^2 in int32 with
+            # i up to nx-1 and j up to the padded lane count (< ny+128);
+            # refuse the spec (DMA-mask fallback) when that sum could
+            # overflow int32 and silently corrupt the mask.
+            m = max(nx, ny + 128)
+            if 8 * m * m >= 2**31:
+                return None
             ci2 = int(np.round(2 * si.mean()))
             cj2 = int(np.round(2 * sj.mean()))
             r2q = int(((2 * si - ci2) ** 2 + (2 * sj - cj2) ** 2).max())

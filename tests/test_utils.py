@@ -151,6 +151,34 @@ def test_cli_end_to_end(tmp_path):
     assert (tmp_path / "ck" / "20.lbmckpt" / "f.raw").exists()
 
 
+def test_cli_misaligned_event_intervals(tmp_path):
+    """Events fire at multiples of their own interval even when the
+    intervals are not multiples of each other (advisor finding: the old
+    min-interval chunking skipped any event whose interval wasn't a
+    multiple of the smallest)."""
+    code = subprocess.run(
+        [
+            sys.executable, "-m", "latticeboltzmann_tpu",
+            "--nx", "24", "--ny", "40", "--steps", "21",
+            "--backend", "xla", "--print-stats-every", "3",
+            "--save-lattice-every", "7",
+            "--snapshot-dir", str(tmp_path / "data"),
+            "--checkpoint-every", "10",
+            "--checkpoint-dir", str(tmp_path / "ck"),
+        ],
+        capture_output=True,
+        text=True,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert code.returncode == 0, code.stderr[-2000:]
+    for snap in (7, 14, 21):
+        assert (tmp_path / "data" / f"{snap}.csv").exists(), snap
+    for ck in (10, 20):
+        assert (tmp_path / "ck" / f"{ck}.lbmckpt" / "f.raw").exists(), ck
+
+
 def test_cli_resume(tmp_path):
     env = {"PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root"}
     base = [
