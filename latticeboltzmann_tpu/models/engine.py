@@ -38,6 +38,17 @@ _WALL_SPEC_BACKENDS = {
     "sharded-pallas-interpret",
 }
 
+# backends that accept slip_x/slip_y kwargs (free-slip specular walls)
+_SLIP_BACKENDS = {
+    "xla",
+    "pallas",
+    "pallas-interpret",
+    "sharded",
+    "sharded-sync",
+    "sharded-pallas",
+    "sharded-pallas-interpret",
+}
+
 
 def _register_pallas():
     from ..ops import fused_kernel
@@ -108,19 +119,22 @@ class Simulation:
             raise ValueError(f"walls shape {walls.shape} != lattice {(cfg.nx, cfg.ny)}")
         if backend not in _BACKENDS:
             raise ValueError(f"unknown backend {backend!r}; have {available_backends()}")
-        if (slip_x is not None or slip_y is not None) and backend != "xla":
+        has_slip = slip_x is not None or slip_y is not None
+        if has_slip and backend not in _SLIP_BACKENDS:
             raise NotImplementedError(
-                "free-slip boundaries are currently implemented on the 'xla' backend"
+                f"free-slip boundaries are not implemented on the {backend!r} "
+                f"backend; supported: {sorted(_SLIP_BACKENDS)}"
             )
         self.backend = backend
         self._run_steps = _BACKENDS[backend]
         self.walls_np = np.asarray(walls, dtype=bool)
         self.walls = jnp.asarray(self.walls_np)
         # closed-form geometry spec (None for arbitrary masks): lets the
-        # Pallas kernel compute the mask in-kernel instead of DMA'ing it
+        # Pallas kernel compute the mask in-kernel instead of DMA'ing it.
+        # Slip masks are arbitrary, so slip runs use the DMA'd class plane.
         self.wall_spec = (
             geometry.infer_spec(self.walls_np)
-            if backend in _WALL_SPEC_BACKENDS
+            if backend in _WALL_SPEC_BACKENDS and not has_slip
             else None
         )
         self.slip_x = None if slip_x is None else jnp.asarray(slip_x, bool)
@@ -135,16 +149,13 @@ class Simulation:
         includes jit compilation in `elapsed`; benchmarks warm up first
         (bench.py) or use the CLI --warmup flag."""
         t0 = time.perf_counter()
+        kwargs = {}
+        if self.wall_spec is not None:
+            kwargs["wall_spec"] = self.wall_spec
         if self.slip_x is not None or self.slip_y is not None:
-            self.f = xla_ops.run_steps(
-                self.f, self.walls, self.cfg, n_steps, self.slip_x, self.slip_y
-            )
-        elif self.wall_spec is not None:
-            self.f = self._run_steps(
-                self.f, self.walls, self.cfg, n_steps, wall_spec=self.wall_spec
-            )
-        else:
-            self.f = self._run_steps(self.f, self.walls, self.cfg, n_steps)
+            kwargs["slip_x"] = self.slip_x
+            kwargs["slip_y"] = self.slip_y
+        self.f = self._run_steps(self.f, self.walls, self.cfg, n_steps, **kwargs)
         if block:
             # NOTE: under tunneled TPU runtimes block_until_ready() can
             # return before execution finishes; fetching a scalar reduce
@@ -163,10 +174,12 @@ class Simulation:
         the series is fetched once at the end.
 
         On the 'xla' backend with every == 1 the whole run is a single
-        jit(scan) with the probe gather fused into each step. Other
-        backends (e.g. the temporally-blocked Pallas kernel, whose T-step
-        HBM pass has no per-step state to sample) run in `every`-step
-        chunks with a device-side probe gather between chunks.
+        jit(scan) with the probe gather fused into each step. On the
+        'pallas' backends the gather is fused into the kernel-pass loop
+        (temporal-blocked pairs when every % 8 == 0, single-step passes
+        otherwise) — still one jit, one host sync. The sharded backends
+        run in `every`-step chunks with a device-side probe gather
+        between chunks.
         """
         if n_steps % every:
             raise ValueError(f"n_steps={n_steps} not divisible by every={every}")
@@ -177,6 +190,22 @@ class Simulation:
             t0 = time.perf_counter()
             self.f, series = xla_ops.run_steps_probed(
                 self.f, self.walls, self.cfg, n_steps, probes, self.slip_x, self.slip_y
+            )
+            if block:
+                float(jnp.sum(series[-1]))
+            self.elapsed += time.perf_counter() - t0
+            self.steps_done += n_steps
+        elif self.backend in ("pallas", "pallas-interpret"):
+            from ..ops import fused_kernel
+
+            t0 = time.perf_counter()
+            self.f, series = fused_kernel.run_steps_probed(
+                self.f, self.walls, self.cfg, n_steps, probes,
+                every=every,
+                interpret=self.backend == "pallas-interpret",
+                wall_spec=self.wall_spec,
+                slip_x=self.slip_x,
+                slip_y=self.slip_y,
             )
             if block:
                 float(jnp.sum(series[-1]))

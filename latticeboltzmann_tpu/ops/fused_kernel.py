@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.spec import E, NSPEEDS, OPPOSITE, W, LatticeConfig
+from ..core.spec import E, NSPEEDS, OPPOSITE, REFLECT_X, REFLECT_Y, W, LatticeConfig
 
 LANE = 128
 
@@ -114,6 +114,7 @@ def _make_kernel(
     external_halo: bool = False,
     slots: int = 6,
     wall_spec=None,
+    has_slip: bool = False,
 ):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
@@ -305,11 +306,14 @@ def _make_kernel(
                 out[s] = jnp.concatenate([new_sub, planes[s][:, LANE:]], axis=1)
             return out
 
-        def stream_collide_window(f, wall):
+        def stream_collide_window(f, wall, cls=None):
             """One fused step on an R-row window: returns the R-2 valid
             interior rows (pull-scheme gather per
             src/latticeboltzmann.c:230-243, BGK per :258-296, masked
-            bounce-back per :246-255; wall f0 passthrough = own value)."""
+            bounce-back per :246-255; wall f0 passthrough = own value).
+            With cls (solid-class codes: 1=bounce-back, 2=slip_x,
+            3=slip_y) the free-slip specular reflections are two extra
+            masked selects per speed."""
             R = f[0].shape[0]
             pulled = []
             for s in range(NSPEEDS):
@@ -360,10 +364,23 @@ def _make_kernel(
                 out[sn] = c1 * p[sn] + r_ * (q - eu)
 
             wall_c = wall[1 : R - 1]
-            return [
-                jnp.where(wall_c, p[int(OPPOSITE[s])], out[s])
-                for s in range(NSPEEDS)
-            ]
+            if cls is None:
+                return [
+                    jnp.where(wall_c, p[int(OPPOSITE[s])], out[s])
+                    for s in range(NSPEEDS)
+                ]
+            # slip (specular reflection, the "reflect" BC the reference
+            # names but never implements, src/latticeboltzmann.c:21):
+            # class codes are exact small floats, so equality is safe.
+            # Precedence was resolved when the class plane was built.
+            cls_c = cls[1 : R - 1]
+            bounce = cls_c == np.float32(1.0)  # NOT wall_c: that includes slip sites
+            res = []
+            for s in range(NSPEEDS):
+                o = jnp.where(cls_c == np.float32(2.0), p[int(REFLECT_X[s])], out[s])
+                o = jnp.where(cls_c == np.float32(3.0), p[int(REFLECT_Y[s])], o)
+                res.append(jnp.where(bounce, p[int(OPPOSITE[s])], o))
+            return res
 
         # assemble the extended window: rows [r0-T, r0+br+T) from the
         # three resident blocks (cast up to compute precision if the
@@ -375,13 +392,14 @@ def _make_kernel(
             ).astype(dtype)
             for s in range(NSPEEDS)
         ]
+        cls = None
         if wall_spec is None:
-            wall = (
-                jnp.concatenate(
-                    [wbody[s_top, br - T :], wbody[s_body], wbody[s_bot, :T]], axis=0
-                )
-                > zero
+            codes = jnp.concatenate(
+                [wbody[s_top, br - T :], wbody[s_body], wbody[s_bot, :T]], axis=0
             )
+            wall = codes > zero  # any solid class (forcing skips them all)
+            if has_slip:
+                cls = codes
         else:
             # closed-form mask from iotas — no walls DMA. Window rows are
             # global rows [base - T, base + br + T) with periodic wrap at
@@ -421,8 +439,10 @@ def _make_kernel(
         # step (forcing precedes every step: src/latticeboltzmann.c:192,201)
         for _ in range(T):
             f = forced(f, wall)
-            f = stream_collide_window(f, wall)
+            f = stream_collide_window(f, wall, cls)
             wall = wall[1:-1]
+            if cls is not None:
+                cls = cls[1:-1]
 
         for s in range(NSPEEDS):
             out_ref[s, :, :] = f[s].astype(storage)
@@ -441,6 +461,7 @@ def make_step(
     external_halo: bool = False,
     slots: int | None = None,
     wall_spec=None,
+    has_slip: bool = False,
 ):
     """Jittable padded-state half-step:
     (f_src, dst_donor, walls_padded_f32) -> f_new, where f_new reuses
@@ -449,10 +470,14 @@ def make_step(
     iteration keep XLA from inserting carry copies.
 
     f: (9, nx, nyp); walls: (nx, nyp) float32 0/1 with padding lanes
-    (j >= cfg.ny) marked solid.
+    (j >= cfg.ny) marked solid. With has_slip the walls plane instead
+    carries solid-class codes 0/1/2/3 (fluid / bounce-back / slip_x /
+    slip_y) — free-slip walls ride the existing mask DMA for free.
     """
     dtype = np.dtype(cfg.dtype).type
     itemsize = np.dtype(cfg.dtype).itemsize
+    if has_slip and wall_spec is not None:
+        raise ValueError("slip masks are arbitrary; use the DMA mask path")
     walls_dma = wall_spec is None
     if slots is None:
         slots = (
@@ -461,7 +486,7 @@ def make_step(
             else 4
         )
     kernel = _make_kernel(
-        cfg, nx, nyp, br, dtype, temporal, external_halo, slots, wall_spec
+        cfg, nx, nyp, br, dtype, temporal, external_halo, slots, wall_spec, has_slip
     )
     n_blocks = nx // br
 
@@ -519,11 +544,25 @@ def make_step(
     return step
 
 
+def class_plane(walls, slip_x=None, slip_y=None):
+    """Solid-class codes as one float32 plane: 0 fluid, 1 bounce-back
+    wall, 2 slip_x, 3 slip_y. Precedence walls > slip_x > slip_y (the
+    xla backend's documented overlap rule)."""
+    walls = jnp.asarray(walls, bool)
+    cls = walls.astype(jnp.float32)
+    if slip_y is not None:
+        cls = jnp.where(jnp.asarray(slip_y, bool) & ~walls, jnp.float32(3.0), cls)
+    if slip_x is not None:
+        cls = jnp.where(jnp.asarray(slip_x, bool) & ~walls, jnp.float32(2.0), cls)
+    return cls
+
+
 def pad_state(f, walls, cfg: LatticeConfig):
     """Embed (9, NX, NY) state into the (9, NX, NYP) padded layout;
     padding lanes are marked solid and filled with edge values (they
     never feed real sites — the lane-boundary analog of the reference's
-    NYPADDED stride padding, src/latticeboltzmann.c:69-76)."""
+    NYPADDED stride padding, src/latticeboltzmann.c:69-76). `walls` may
+    be a bool mask or a float32 class-code plane (see class_plane)."""
     nyp = round_up(cfg.ny, LANE)
     pad = nyp - cfg.ny
     f_p = jnp.pad(jnp.asarray(f), ((0, 0), (0, 0), (0, pad)), mode="edge")
@@ -547,11 +586,14 @@ def _make_runner(
     interpret: bool,
     temporal: int,
     wall_spec=None,
+    has_slip: bool = False,
 ):
     """One persistent jitted runner per configuration: advances
     2*temporal*n_pairs steps with a dynamic pair count (fori_loop), so
     changing the step count never recompiles."""
-    stepT = make_step(cfg, nx, nyp, br, interpret, temporal, wall_spec=wall_spec)
+    stepT = make_step(
+        cfg, nx, nyp, br, interpret, temporal, wall_spec=wall_spec, has_slip=has_slip
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def runner(f_p, scratch, walls_p, n_pairs):
@@ -576,6 +618,8 @@ def run_steps(
     interpret: bool = False,
     temporal: int | None = None,
     wall_spec=None,
+    slip_x=None,
+    slip_y=None,
 ):
     """Simulation-backend adapter: unpadded in, unpadded out.
 
@@ -586,6 +630,9 @@ def run_steps(
     aliased pallas outputs stay zero-copy. Remainder steps run as
     statically-unrolled single-step passes.
     """
+    has_slip = slip_x is not None or slip_y is not None
+    if has_slip:
+        wall_spec = None  # slip masks are arbitrary; DMA the class plane
     nx = f.shape[1]
     br = pick_block_config(
         nx,
@@ -599,22 +646,134 @@ def run_steps(
         # 'hard parts') route to the XLA engine
         from . import stream_collide
 
-        return stream_collide.run_steps(f, walls, cfg, n_steps)
+        return stream_collide.run_steps(f, walls, cfg, n_steps, slip_x, slip_y)
     if temporal is None:
         # interpreter mode is a semantics tool — temporal blocking only
         # multiplies its cost
         temporal = 1 if interpret else min(DEFAULT_TEMPORAL, br)
     nyp = round_up(cfg.ny, LANE)
-    f_p, walls_p = pad_state(f, walls, cfg)
-    runner = _make_runner(cfg, nx, nyp, br, interpret, temporal, wall_spec)
+    mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
+    f_p, walls_p = pad_state(f, mask, cfg)
+    runner = _make_runner(cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip)
 
     n_pairs = n_steps // (2 * temporal)
     a, b = runner(f_p, jnp.zeros_like(f_p), walls_p, n_pairs)
     rem = n_steps % (2 * temporal)
     if rem:
-        rem_runner = _make_rem_runner(cfg, nx, nyp, br, interpret, rem, wall_spec)
+        rem_runner = _make_rem_runner(
+            cfg, nx, nyp, br, interpret, rem, wall_spec, has_slip
+        )
         a = rem_runner(a, b, walls_p)
     return a[:, :, : cfg.ny]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_probed_runner(
+    cfg: LatticeConfig,
+    nx: int,
+    nyp: int,
+    br: int,
+    interpret: bool,
+    every: int,
+    temporal: int,
+    n_chunks: int,
+    wall_spec=None,
+    has_slip: bool = False,
+):
+    """Probe-fused runner: advances n_chunks * every steps under ONE jit,
+    emitting (rho, u_x, u_y) at the probe sites every `every` steps into
+    an on-device series — run_probed with a single host sync on the
+    Pallas backend (the reference's PrintLattice stream made per-step,
+    src/latticeboltzmann.c:610-639).
+
+    Pass structure per chunk, in preference order: temporal-blocked
+    fixed-role pairs when every % (2*T) == 0 (full kernel speed),
+    single-step fixed-role pairs when every is even, and single-step
+    swapped-role passes otherwise (odd `every` — XLA inserts carry
+    copies, a diagnostics-mode cost).
+    """
+    from .stream_collide import probe_values
+
+    if every % (2 * temporal) == 0:
+        stepP = make_step(cfg, nx, nyp, br, interpret, temporal,
+                          wall_spec=wall_spec, has_slip=has_slip)
+        pairs = every // (2 * temporal)
+    elif every % 2 == 0:
+        stepP = make_step(cfg, nx, nyp, br, interpret, 1,
+                          wall_spec=wall_spec, has_slip=has_slip)
+        pairs = every // 2
+    else:
+        stepP = make_step(cfg, nx, nyp, br, interpret, 1,
+                          wall_spec=wall_spec, has_slip=has_slip)
+        pairs = 0  # odd path below
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def runner(a, b, walls_p, probes):
+        if pairs:
+            def body(carry, _):
+                def inner(_, c):
+                    x, y = c
+                    y = stepP(x, y, walls_p)
+                    x = stepP(y, x, walls_p)
+                    return (x, y)
+
+                a_, b_ = jax.lax.fori_loop(0, pairs, inner, carry)
+                return (a_, b_), probe_values(a_, probes)
+        else:
+            def body(carry, _):
+                a_, b_ = carry
+                for _ in range(every):
+                    a_, b_ = stepP(a_, b_, walls_p), a_
+                return (a_, b_), probe_values(a_, probes)
+
+        (a, b), series = jax.lax.scan(body, (a, b), length=n_chunks)
+        return a, series
+
+    return runner
+
+
+def run_steps_probed(
+    f,
+    walls,
+    cfg: LatticeConfig,
+    n_steps: int,
+    probes,
+    *,
+    every: int = 1,
+    interpret: bool = False,
+    wall_spec=None,
+    slip_x=None,
+    slip_y=None,
+):
+    """(f_final, series): advance n_steps sampling probes every `every`
+    steps, all on device with one host sync. series: (n_steps//every, P, 3).
+    """
+    from . import stream_collide
+
+    if n_steps % every:
+        raise ValueError(f"n_steps={n_steps} not divisible by every={every}")
+    has_slip = slip_x is not None or slip_y is not None
+    if has_slip:
+        wall_spec = None
+    nx = f.shape[1]
+    nyp = round_up(cfg.ny, LANE)
+    br = pick_block_config(
+        nx, nyp, np.dtype(cfg.dtype).itemsize, walls_dma=wall_spec is None
+    )[0]
+    if br == 0 or np.dtype(cfg.dtype) == np.float64:
+        fout, series = stream_collide.run_steps_probed(
+            f, walls, cfg, n_steps, probes, slip_x, slip_y
+        )
+        return fout, series[every - 1 :: every]
+    temporal = 1 if interpret else min(DEFAULT_TEMPORAL, br)
+    mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
+    f_p, walls_p = pad_state(f, mask, cfg)
+    runner = _make_probed_runner(
+        cfg, nx, nyp, br, interpret, every, temporal, n_steps // every,
+        wall_spec, has_slip,
+    )
+    fout_p, series = runner(f_p, jnp.zeros_like(f_p), walls_p, probes)
+    return fout_p[:, :, : cfg.ny], series
 
 
 @functools.lru_cache(maxsize=64)
@@ -626,8 +785,9 @@ def _make_rem_runner(
     interpret: bool,
     rem: int,
     wall_spec=None,
+    has_slip: bool = False,
 ):
-    step1 = make_step(cfg, nx, nyp, br, interpret, 1, wall_spec=wall_spec)
+    step1 = make_step(cfg, nx, nyp, br, interpret, 1, wall_spec=wall_spec, has_slip=has_slip)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def rem_runner(a, b, walls_p):

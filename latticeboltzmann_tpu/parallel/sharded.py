@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.spec import E, NSPEEDS, LatticeConfig
+from ..core.spec import E, NSPEEDS, REFLECT_X, REFLECT_Y, LatticeConfig
 from ..ops import stream_collide as ops
 
 # Speeds that pull from the row above (e_x=+1) / below (e_x=-1).
@@ -95,45 +95,87 @@ def _pull_padded(f_local, top_halo, bot_halo):
     return jnp.stack(pulled)
 
 
-def _finish(pulled, walls_local, cfg):
-    """Collide + masked bounce-back on already-pulled distributions."""
+def _finish(pulled, walls_local, cfg, slip_x_l=None, slip_y_l=None):
+    """Collide + masked bounce-back (and optional free-slip specular
+    reflection) on already-pulled distributions. Precedence walls >
+    slip_x > slip_y, matching ops.stream_collide."""
     relaxed = ops.collide(pulled, cfg)
+    if slip_y_l is not None:
+        relaxed = jnp.where(slip_y_l[None, :, :], pulled[np.asarray(REFLECT_Y)], relaxed)
+    if slip_x_l is not None:
+        relaxed = jnp.where(slip_x_l[None, :, :], pulled[np.asarray(REFLECT_X)], relaxed)
     bounced = pulled[np.asarray(ops.OPPOSITE)]
     return jnp.where(walls_local[None, :, :], bounced, relaxed)
 
 
-def _step_local(f_local, walls_local, cfg: LatticeConfig, overlap: bool):
+def _step_local(f_local, walls_local, cfg: LatticeConfig, overlap: bool,
+                slip_x_l=None, slip_y_l=None):
     """One timestep on a local row block: forcing, halo exchange, fused
     stream+collide. With overlap=True the interior rows' compute has no
     dependency on the ppermute results, so XLA can hide the collective —
     the reference's Isend/compute-interior/Waitall/compute-boundary
     schedule (README.md:45-51) expressed dataflow-style."""
-    f_local = ops.apply_source(f_local, walls_local, cfg)
+    solid = walls_local
+    if slip_x_l is not None:
+        solid = solid | slip_x_l
+    if slip_y_l is not None:
+        solid = solid | slip_y_l
+    f_local = ops.apply_source(f_local, solid, cfg)
     top_halo, bot_halo = _exchange_halos(f_local)
+
+    def finish(pulled, sl):
+        return _finish(
+            pulled, walls_local[sl], cfg,
+            None if slip_x_l is None else slip_x_l[sl],
+            None if slip_y_l is None else slip_y_l[sl],
+        )
 
     if not overlap:
         pulled = _pull_padded(f_local, top_halo, bot_halo)
-        return _finish(pulled, walls_local, cfg)
+        return finish(pulled, slice(None))
 
     # Interior rows [1, L-1): pure local pull (rows 0..L-1 suffice).
     interior = ops.pull(f_local)[:, 1:-1, :]
     # jnp-roll-based pull wraps x locally; rows 1..L-2 never read the
     # wrapped rows, so the interior slice equals the true pull.
-    out_interior = _finish(interior, walls_local[1:-1], cfg)
+    out_interior = finish(interior, slice(1, -1))
 
     # Boundary rows 0 and L-1: need the halos.
     pulled_all = _pull_padded(f_local, top_halo, bot_halo)
-    out_top = _finish(pulled_all[:, :1, :], walls_local[:1], cfg)
-    out_bot = _finish(pulled_all[:, -1:, :], walls_local[-1:], cfg)
+    out_top = finish(pulled_all[:, :1, :], slice(None, 1))
+    out_bot = finish(pulled_all[:, -1:, :], slice(-1, None))
     return jnp.concatenate([out_top, out_interior, out_bot], axis=1)
 
 
-def make_run_steps(mesh: Mesh, cfg: LatticeConfig, *, overlap: bool = True):
+def make_run_steps(mesh: Mesh, cfg: LatticeConfig, *, overlap: bool = True,
+                   slip: bool = False):
     """Build a jitted (f, walls, n_steps) -> f over the mesh. f is
-    (9, NX, NY) sharded on axis 1; walls (NX, NY) sharded on axis 0."""
+    (9, NX, NY) sharded on axis 1; walls (NX, NY) sharded on axis 0.
+    With slip=True the signature becomes
+    (f, walls, slip_x, slip_y, n_steps) -> f (masks sharded like walls)."""
 
     fspec = P(None, AXIS, None)
     wspec = P(AXIS, None)
+
+    if slip:
+        def sharded_loop_slip(f_local, walls_local, sx_l, sy_l, n_steps):
+            def body(carry, _):
+                return _step_local(carry, walls_local, cfg, overlap, sx_l, sy_l), None
+
+            out, _ = jax.lax.scan(body, f_local, length=n_steps)
+            return out
+
+        @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
+        def run_steps_slip(f, walls, slip_x, slip_y, n_steps: int):
+            shmapped = jax.shard_map(
+                partial(sharded_loop_slip, n_steps=n_steps),
+                mesh=mesh,
+                in_specs=(fspec, wspec, wspec, wspec),
+                out_specs=fspec,
+            )
+            return shmapped(f, walls, slip_x, slip_y)
+
+        return run_steps_slip
 
     def sharded_loop(f_local, walls_local, n_steps):
         def body(carry, _):
@@ -169,6 +211,7 @@ def make_pallas_run_steps(
     temporal: int | None = None,
     interpret: bool = False,
     wall_spec=None,
+    has_slip: bool = False,
 ):
     """Production multi-chip path: the fused Pallas kernel runs on each
     device's local row block, with the x halos (T rows of f + walls per
@@ -201,8 +244,10 @@ def make_pallas_run_steps(
         temporal = min(fk.DEFAULT_TEMPORAL, br)
     T = temporal
     nyp = fk.round_up(cfg.ny, fk.LANE)
-    step = fk.make_step(cfg, L, nyp, br, interpret, T, external_halo=True, wall_spec=wall_spec)
-    step1 = fk.make_step(cfg, L, nyp, br, interpret, 1, external_halo=True, wall_spec=wall_spec)
+    step = fk.make_step(cfg, L, nyp, br, interpret, T, external_halo=True,
+                        wall_spec=wall_spec, has_slip=has_slip)
+    step1 = fk.make_step(cfg, L, nyp, br, interpret, 1, external_halo=True,
+                         wall_spec=wall_spec, has_slip=has_slip)
 
     fspec = P(None, AXIS, None)
     wspec = P(AXIS, None)
@@ -270,15 +315,23 @@ def make_pallas_run_steps(
 
 
 def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False):
-    """Simulation-backend adapter for the sharded Pallas path."""
+    """Simulation-backend adapter for the sharded Pallas path. Free-slip
+    masks ride the walls DMA as a class-code plane (see
+    fused_kernel.class_plane)."""
     cache: dict = {}
 
-    def run(f, walls, cfg, n_steps, wall_spec=None):
+    def run(f, walls, cfg, n_steps, wall_spec=None, slip_x=None, slip_y=None):
+        from ..ops import fused_kernel as fk
+
         m = mesh if mesh is not None else make_mesh()
-        key = (m, cfg, interpret, wall_spec)
+        has_slip = slip_x is not None or slip_y is not None
+        if has_slip:
+            wall_spec = None
+            walls = fk.class_plane(walls, slip_x, slip_y)
+        key = (m, cfg, interpret, wall_spec, has_slip)
         if key not in cache:
             cache[key] = make_pallas_run_steps(
-                m, cfg, interpret=interpret, wall_spec=wall_spec
+                m, cfg, interpret=interpret, wall_spec=wall_spec, has_slip=has_slip
             )
         f, walls = shard_state(m, f, walls)
         return cache[key](f, walls, n_steps)
@@ -292,12 +345,20 @@ def make_backend(mesh: Mesh | None = None, *, overlap: bool = True):
     compiled runner."""
     cache: dict = {}
 
-    def run(f, walls, cfg, n_steps):
+    def run(f, walls, cfg, n_steps, slip_x=None, slip_y=None):
         m = mesh if mesh is not None else make_mesh()
-        key = (m, cfg, overlap)
+        slip = slip_x is not None or slip_y is not None
+        key = (m, cfg, overlap, slip)
         if key not in cache:
-            cache[key] = make_run_steps(m, cfg, overlap=overlap)
+            cache[key] = make_run_steps(m, cfg, overlap=overlap, slip=slip)
         f, walls = shard_state(m, f, walls)
+        if slip:
+            wsharding = NamedSharding(m, P(AXIS, None))
+            sx = jnp.zeros(walls.shape, bool) if slip_x is None else jnp.asarray(slip_x, bool)
+            sy = jnp.zeros(walls.shape, bool) if slip_y is None else jnp.asarray(slip_y, bool)
+            sx = jax.device_put(sx, wsharding)
+            sy = jax.device_put(sy, wsharding)
+            return cache[key](f, walls, sx, sy, n_steps)
         return cache[key](f, walls, n_steps)
 
     return run

@@ -82,3 +82,40 @@ def test_probe_validation(small_cfg, small_walls):
         sim.run_probed(5, PROBES, every=2)  # 5 % 2 != 0
     with pytest.raises(ValueError):
         sim.run_probed(4, np.array([1, 2, 3]))  # bad shape
+
+
+def test_pallas_fused_probes_every_1(small_walls):
+    """run_probed(every=1) on the pallas backend: per-step series fused
+    into the kernel-pass loop (one jit, one host sync), matching the xla
+    fused series."""
+    cfg = LatticeConfig(nx=24, ny=40, dtype=np.float32)
+    pal = Simulation(cfg, small_walls, backend="pallas-interpret")
+    series_p = pal.run_probed(6, PROBES)
+    assert series_p.shape == (6, 3, 3)
+    assert pal.steps_done == 6
+    ref = Simulation(cfg, small_walls, backend="xla")
+    series_x = ref.run_probed(6, PROBES)
+    np.testing.assert_allclose(series_p, series_x, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(pal.state(), ref.state(), rtol=1e-5, atol=1e-7)
+
+
+def test_pallas_fused_probes_every_8(small_walls):
+    """even `every` uses fixed-role pairs; series equals every 8th row of
+    the per-step series."""
+    cfg = LatticeConfig(nx=24, ny=40, dtype=np.float32)
+    a = Simulation(cfg, small_walls, backend="pallas-interpret")
+    s8 = a.run_probed(16, PROBES, every=8)
+    b = Simulation(cfg, small_walls, backend="pallas-interpret")
+    s1 = b.run_probed(16, PROBES)
+    assert s8.shape == (2, 3, 3)
+    np.testing.assert_allclose(s8, s1[7::8], rtol=0, atol=1e-7)
+
+
+def test_pallas_fused_probes_odd_every(small_walls):
+    """odd `every` (swapped-role single passes) still matches."""
+    cfg = LatticeConfig(nx=24, ny=40, dtype=np.float32)
+    a = Simulation(cfg, small_walls, backend="pallas-interpret")
+    s3 = a.run_probed(6, PROBES, every=3)
+    b = Simulation(cfg, small_walls, backend="pallas-interpret")
+    s1 = b.run_probed(6, PROBES)
+    np.testing.assert_allclose(s3, s1[2::3], rtol=0, atol=1e-7)

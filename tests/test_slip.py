@@ -118,8 +118,62 @@ def test_slip_channel_develops_plug_flow():
     assert spread_slip < spread_bb / 10
 
 
-def test_slip_rejected_on_non_xla_backends():
+def _slip_scene(nx, ny, dtype):
+    """Mixed scene exercising all three solid classes at once."""
+    cfg = LatticeConfig(nx=nx, ny=ny, dtype=dtype)
+    walls = geometry.empty(nx, ny)
+    walls[nx // 3 : nx // 3 + 4, ny // 4 : ny // 4 + 3] = True
+    slip_x = geometry.channel(nx, ny)
+    slip_y = geometry.empty(nx, ny)
+    slip_y[:, 2 * ny // 3] = True
+    slip_y &= ~(walls | slip_x)
+    return cfg, walls, slip_x, slip_y
+
+
+@pytest.mark.parametrize(
+    "backend", ["pallas-interpret", "sharded", "sharded-sync", "sharded-pallas-interpret"]
+)
+def test_slip_backend_parity(backend):
+    """Free-slip on every backend matches the xla path on a scene with
+    bounce-back walls + slip_x channel edges + a slip_y column (solid
+    class codes 1/2/3 in one run). nx=64 keeps the Pallas paths on the
+    kernel (br=16+) rather than the odd-shape XLA fallback."""
+    cfg, walls, slip_x, slip_y = _slip_scene(64, 128, np.float32)
+    ref = Simulation(cfg, walls, backend="xla", slip_x=slip_x, slip_y=slip_y)
+    ref.run(10)
+    got = Simulation(cfg, walls, backend=backend, slip_x=slip_x, slip_y=slip_y)
+    got.run(10)
+    np.testing.assert_allclose(got.state(), ref.state(), rtol=1e-5, atol=1e-7)
+    # and the slip wall actually behaves as slip (plug, not sheared):
+    # compare against a bounce-back run of the same backend
+    bb = Simulation(cfg, walls | np.asarray(slip_x), backend=backend)
+    bb.run(10)
+    assert np.abs(got.state() - bb.state()).max() > 1e-6
+
+
+def test_slip_golden_vs_pallas_kernel_f64_semantics():
+    """The kernel's slip selects agree with the golden model: run the
+    interpret kernel at f32 against a float64 golden run rounded to f32
+    — catches class-code mix-ups that tolerance-vs-xla might mask."""
+    cfg, walls, slip_x, slip_y = _slip_scene(32, 64, np.float32)
+    cfg64 = LatticeConfig(nx=cfg.nx, ny=cfg.ny, dtype=np.float64)
+    f0 = golden.initial_state(cfg64)
+    ref = golden.run(f0.copy(), walls, cfg64, 6, slip_x=slip_x, slip_y=slip_y)
+    sim = Simulation(cfg, walls, backend="pallas-interpret",
+                     slip_x=slip_x, slip_y=slip_y,
+                     f0=f0.astype(np.float32))
+    sim.run(6)
+    np.testing.assert_allclose(sim.state(), ref.astype(np.float32), rtol=1e-4, atol=1e-7)
+
+
+def test_slip_rejected_on_unsupported_backends():
     cfg = LatticeConfig(nx=16, ny=32, dtype=np.float32)
     edges = geometry.channel(cfg.nx, cfg.ny)
-    with pytest.raises(NotImplementedError):
-        Simulation(cfg, backend="pallas-interpret", slip_x=edges)
+    from latticeboltzmann_tpu.models import engine
+
+    engine.register_backend("bogus-for-test", lambda *a, **k: None)
+    try:
+        with pytest.raises(NotImplementedError):
+            Simulation(cfg, backend="bogus-for-test", slip_x=edges)
+    finally:
+        engine._BACKENDS.pop("bogus-for-test")

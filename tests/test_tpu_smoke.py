@@ -1,0 +1,85 @@
+"""Compiled-kernel smoke test on real TPU hardware.
+
+Every other kernel test runs the Pallas interpreter on CPU, which
+validates semantics but not Mosaic lowering — the x64-poisons-Pallas
+class of bug (bench_suite.py scopes jax_enable_x64 for exactly this
+reason) is invisible to the interpreter. This test runs the real
+compiled kernel for a few steps in a subprocess against the ambient TPU
+backend (the suite's own process is pinned to CPU by conftest.py), and
+auto-skips when no TPU is reachable.
+
+Run explicitly with `pytest -m tpu`; it is also collected by default.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SMOKE = r"""
+import numpy as np
+import jax
+
+if jax.default_backend() != "tpu":
+    print("NO_TPU_BACKEND")
+    raise SystemExit(3)
+
+from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+
+# 1. compiled fused kernel (spec walls, T-blocked) vs the XLA engine
+cfg = LatticeConfig(nx=64, ny=256, dtype=np.float32)
+walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
+sim = Simulation(cfg, walls, backend="pallas")
+sim.run(16)
+f = sim.state()
+assert np.isfinite(f).all() and (f >= 0).all(), "pallas state not finite/positive"
+ref = Simulation(cfg, walls, backend="xla")
+ref.run(16)
+np.testing.assert_allclose(f, ref.state(), rtol=1e-4, atol=1e-6)
+print("KERNEL_PARITY_OK")
+
+# 2. x64 scoping: an f64 (XLA-engine) run must not poison a subsequent
+#    fresh Mosaic compile (new shapes force recompilation)
+jax.config.update("jax_enable_x64", True)
+cfg64 = LatticeConfig(nx=24, ny=64, dtype=np.float64)
+s64 = Simulation(cfg64, geometry.channel(cfg64.nx, cfg64.ny), backend="xla")
+s64.run(4)
+assert np.isfinite(s64.state()).all()
+jax.config.update("jax_enable_x64", False)
+
+cfg2 = LatticeConfig(nx=32, ny=384, dtype=np.float32)
+sim2 = Simulation(cfg2, geometry.channel_with_barrier(cfg2.nx, cfg2.ny),
+                  backend="pallas")
+sim2.run(8)
+assert np.isfinite(sim2.state()).all()
+print("POST_X64_COMPILE_OK")
+print("SMOKE_OK")
+"""
+
+
+@pytest.mark.tpu
+def test_compiled_kernel_smoke_on_tpu():
+    env = dict(os.environ)
+    # undo the conftest's CPU pinning for the child: with JAX_PLATFORMS
+    # unset, the axon sitecustomize's plugin registration makes the
+    # tunneled TPU the default backend (when one is reachable)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _SMOKE],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    out = proc.stdout + proc.stderr
+    if proc.returncode == 3 and "NO_TPU_BACKEND" in out:
+        pytest.skip("no TPU backend reachable")
+    if proc.returncode != 0 and (
+        "Unable to initialize backend" in out or "remote_compile" in out
+    ):
+        pytest.skip(f"TPU tunnel unavailable/flaky: {out[-500:]}")
+    assert proc.returncode == 0, out[-4000:]
+    assert "SMOKE_OK" in proc.stdout, out[-4000:]
