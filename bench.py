@@ -36,7 +36,10 @@ def main() -> int:
         backend = "pallas" if "pallas" in available_backends() and jax.default_backend() == "tpu" else "xla"
 
     cfg = LatticeConfig(nx=args.nx, ny=args.ny, dtype=np.float32)
-    walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
+    # the reference's exact scene: barrier at rows [20,220) x cols
+    # [100,105) independent of lattice size (src/latticeboltzmann.c:
+    # 567-573) — its published 800x4000 numbers ran this geometry
+    walls = geometry.reference_barrier(cfg.nx, cfg.ny)
 
     sim = Simulation(cfg, walls, backend=backend)
     sim.run(args.warmup)  # compile + warm caches; excluded from timing

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="path to a .lbmckpt directory (or 'latest')")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--fast-math", action="store_true",
+                   help="hardware approximate reciprocal for 1/rho (max rel "
+                        "err 1.6e-5) — the reference's -Ofast analog "
+                        "(Makefile:2); measured slower than IEEE division "
+                        "in the current kernel, so off by default")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on NaN/inf like the reference's "
                         "feenableexcept trap (src/latticeboltzmann.c:129)")
@@ -110,14 +115,16 @@ def main(argv=None) -> int:
                 return 2
         start_step, f0, walls, cfg = checkpoint.load(path)
         print(f"resumed from {path} at step {start_step}")
-        sim = Simulation(cfg, walls, backend=resolve_backend(args.backend), f0=f0)
+        sim = Simulation(cfg, walls, backend=resolve_backend(args.backend), f0=f0,
+                         fast_math=args.fast_math)
     else:
         cfg = LatticeConfig(
             nx=args.nx, ny=args.ny, tau=args.tau, csq=args.csq,
             accel=args.accel, initial_density=args.density, dtype=dtype,
         )
         walls = geometry.build(args.geometry, cfg.nx, cfg.ny)
-        sim = Simulation(cfg, walls, backend=resolve_backend(args.backend))
+        sim = Simulation(cfg, walls, backend=resolve_backend(args.backend),
+                         fast_math=args.fast_math)
 
     # size from the config actually used (on --resume the checkpoint's
     # dtype wins over --precision)

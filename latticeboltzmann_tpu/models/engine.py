@@ -38,6 +38,15 @@ _WALL_SPEC_BACKENDS = {
     "sharded-pallas-interpret",
 }
 
+# backends that accept a fast_math kwarg (hardware approximate 1/rho,
+# the analog of the reference's -Ofast build; see ops/fused_kernel.py)
+_FASTMATH_BACKENDS = {
+    "pallas",
+    "pallas-interpret",
+    "sharded-pallas",
+    "sharded-pallas-interpret",
+}
+
 # backends that accept slip_x/slip_y kwargs (free-slip specular walls)
 _SLIP_BACKENDS = {
     "xla",
@@ -111,8 +120,10 @@ class Simulation:
         f0: np.ndarray | None = None,
         slip_x: np.ndarray | None = None,
         slip_y: np.ndarray | None = None,
+        fast_math: bool = False,
     ):
         self.cfg = cfg
+        self.fast_math = fast_math
         if walls is None:
             walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
         if walls.shape != (cfg.nx, cfg.ny):
@@ -155,6 +166,8 @@ class Simulation:
         if self.slip_x is not None or self.slip_y is not None:
             kwargs["slip_x"] = self.slip_x
             kwargs["slip_y"] = self.slip_y
+        if self.fast_math and self.backend in _FASTMATH_BACKENDS:
+            kwargs["fast_math"] = True
         self.f = self._run_steps(self.f, self.walls, self.cfg, n_steps, **kwargs)
         if block:
             # NOTE: under tunneled TPU runtimes block_until_ready() can
@@ -206,6 +219,7 @@ class Simulation:
                 wall_spec=self.wall_spec,
                 slip_x=self.slip_x,
                 slip_y=self.slip_y,
+                fast_math=self.fast_math,
             )
             if block:
                 float(jnp.sum(series[-1]))

@@ -58,22 +58,23 @@ def _vmem_need(
     return need
 
 
-# Sized against the 100MB vmem_limit_bytes with pipeline slack; 84MB (not
-# 80) so that BR=16/slots=4 at 16000 lanes still fits once the walls-slot
-# term is counted (it ran under the 100MB limit all along — the old 80MB
-# budget simply didn't account for walls).
-VMEM_BUDGET = 84 * 1024 * 1024
+# Sized against the 112MB vmem_limit_bytes with pipeline slack. 97MB
+# admits BR=80/slots=4 on 4096-lane spec-wall configs (96.7MB), the
+# fastest measured block shape: fewer blocks amortize per-block control
+# and shrink the temporal-window overlap from 15.6% to 6.25% of rows.
+VMEM_BUDGET = 97 * 1024 * 1024
 
 
 def pick_block_config(
     nx: int, nyp: int, itemsize: int = 4, temporal: int = 4, walls_dma: bool = True
 ) -> tuple[int, int]:
-    """(block_rows, staging_slots): the largest block of (32, 24, 16, 8)
-    dividing NX that fits the VMEM budget, with 6 staging slots when
+    """(block_rows, staging_slots): the best block of (32, 40, 24, 16,
+    8) dividing NX that fits the VMEM budget, with 6 staging slots when
     affordable (deeper DMA prefetch lead) else 4. BR=32/6 measured
-    fastest on v5e at 4096 lanes; wide lattices step down. Returns
-    (0, 0) when nothing divides NX (caller falls back to XLA)."""
-    for br in (32, 24, 16, 8):
+    fastest on v5e at 4096 lanes (larger blocks measured slower — BR=80
+    T=4: 14,957 vs BR=32: 17,096 MLUPS); wide lattices step down.
+    Returns (0, 0) when nothing divides NX (caller falls back to XLA)."""
+    for br in (32, 40, 24, 16, 8):
         if nx % br:
             continue
         for slots in (6, 4):
@@ -87,21 +88,33 @@ def pick_block_rows(nx: int, nyp: int | None = None, itemsize: int = 4, temporal
     return pick_block_config(nx, nyp if nyp is not None else LANE, itemsize, temporal)[0]
 
 
-def _roll_y_periodic(plane, ey: int, ny: int):
-    """Circular shift by ey in {+1,-1} along the lane axis with the wrap
-    at the *true* column count ny (not the padded lane count): the VMEM
-    equivalent of the reference's y_r/y_l wrapped gather indices
-    (src/latticeboltzmann.c:233-234)."""
-    rows = plane.shape[0]
-    nyp = plane.shape[1]
-    rolled = pltpu.roll(plane, ey % nyp, axis=1)  # pltpu.roll wants shift >= 0
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, nyp), 1)
-    if ey == 1:
-        # out[:, 0] must be in[:, ny-1] (wrap), not in[:, nyp-1] (padding)
-        return jnp.where(lane_idx == 0, plane[:, ny - 1 : ny], rolled)
-    else:
-        # out[:, ny-1] must be in[:, 0]
-        return jnp.where(lane_idx == ny - 1, plane[:, 0:1], rolled)
+def pick_layout(ny: int, temporal: int) -> tuple[int, int]:
+    """(nyp, lpad) for the mirror-padded lane layout.
+
+    Real columns live at lanes [lpad, lpad+ny); the pad lanes on each
+    side hold the periodic continuation of the lattice (the mirror
+    invariant: P[j] = P[j+ny] for j < lpad, P[j] = P[j-ny] for
+    j >= lpad+ny). The in-kernel y pulls are then pure lane rolls — the
+    wrap at the true column count needs no per-step edge fix, which was
+    ~12% of the kernel's VPU time (scripts/anatomy.py). The pad width is
+    at least `temporal` lanes per side because one timestep invalidates
+    one pad lane per side (the nyp-periodic roll feeds each outermost pad
+    lane from the wrong edge); staged blocks are re-mirrored in-kernel
+    every K passes (see _make_kernel's refresh)."""
+    nyp = round_up(ny, LANE)
+    if nyp - ny < 2 * temporal:
+        nyp += LANE
+    return nyp, (nyp - ny) // 2
+
+
+def refresh_interval(lpad: int, rpad: int, ny: int, temporal: int) -> int:
+    """Passes between pad re-mirrors. The decay front (1 lane per side
+    per step, starting at the outermost pad lane) must not reach the
+    innermost pad lanes real sites pull: (passes+1)*T <= valid depth.
+    The refresh restores mirrors to depth min(lpad, rpad, ny) — beyond
+    ny the single-roll sources are pad lanes, not real columns (only
+    relevant for lattices narrower than their own padding)."""
+    return max(1, min(lpad, rpad, ny) // temporal - 1)
 
 
 def _make_kernel(
@@ -115,6 +128,13 @@ def _make_kernel(
     slots: int = 6,
     wall_spec=None,
     has_slip: bool = False,
+    ablate: frozenset = frozenset(),
+    lpad: int = 0,
+    start: int = 0,
+    length: int | None = None,
+    wall_mode: bool = True,
+    row_shift: int = 0,
+    fast_math: bool = False,
 ):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
@@ -147,12 +167,42 @@ def _make_kernel(
     (sharded) variant the kernel takes the shard's global row offset as
     an SMEM scalar and builds the mask in global-row coordinates, which
     also removes the wall-halo exchanges and patches.
+
+    ablate is a perf-lab knob (scripts/anatomy.py): a set of kernel
+    pieces {"pull", "collide", "walls", "force"} to skip, isolating each
+    piece's cost on real hardware. Physics is wrong under any non-empty
+    value; never set it outside measurement scripts.
+
+    lpad is the mirror-pad layout offset (see pick_layout): real columns
+    occupy lanes [lpad, lpad+ny) and the pad lanes hold the periodic
+    continuation, so y pulls are pure lane rolls. The kernel re-mirrors
+    each staged block's pad lanes when the (1,) int32 refresh-flag input
+    is nonzero — the caller raises it every refresh_interval() passes.
+
+    start/length select a circularly-contiguous run of row blocks: grid
+    step i computes block (start+i) mod n_blocks, writing only those
+    output rows. With wall_mode=False the kernel is the wall-free fast
+    variant (no mask, no bounce-back selects). The runner partitions the
+    lattice into solid-containing and solid-free block runs
+    (wall_segments) and chains one kernel launch per run — the TPU
+    answer to the reference's per-vector-block "any wall?" fast path
+    (src/latticeboltzmann.c:437-478), hoisted to launch granularity
+    because in-kernel vector branches predicate (execute) both sides.
     """
     ny = cfg.ny
     n_blocks = nx // br
+    if length is None:
+        length = n_blocks
+    if external_halo and (start, length) != (0, n_blocks):
+        raise ValueError("block segments are not supported on the sharded path")
     T = temporal
     if not (1 <= T <= br):
         raise ValueError(f"temporal={T} must be in [1, {br}]")
+    rpad = nyp - lpad - ny
+    if min(lpad, rpad, ny) < T:
+        raise ValueError(
+            f"mirror pads (lpad={lpad}, rpad={rpad}, ny={ny}) must be >= temporal={T}"
+        )
     storage = dtype
     if np.dtype(storage) == np.dtype("bfloat16"):
         dtype = np.float32  # compute precision
@@ -171,6 +221,8 @@ def _make_kernel(
 
     # staging slots: 3 resident blocks + in-flight prefetches
     SLOTS = slots
+    # the free variant of the DMA-mask path never reads the mask
+    stage_walls = wall_mode and wall_spec is None
 
     def _rem(a, n: int):
         # int32-stable modulo (tests run under jax_enable_x64)
@@ -192,16 +244,36 @@ def _make_kernel(
         # the reference's fA/fB pointer swap (src/latticeboltzmann.c:186-210)
         del donor_hbm
         if external_halo and wall_spec is not None:
-            htop, hbot, off_ref, out_ref, fbody, sems = rest
+            htop, hbot, off_ref, rfl_ref, out_ref, fbody, sems = rest
             wbody = None
         elif external_halo:
-            htop, hbot, whtop, whbot, out_ref, fbody, wbody, sems = rest
-        elif wall_spec is not None:
-            out_ref, fbody, sems = rest
-            wbody = None
+            htop, hbot, whtop, whbot, rfl_ref, out_ref, fbody, wbody, sems = rest
+        elif stage_walls:
+            rfl_ref, out_ref, fbody, wbody, sems = rest
         else:
-            out_ref, fbody, wbody, sems = rest
+            rfl_ref, out_ref, fbody, sems = rest
+            wbody = None
         i = pl.program_id(0)
+        do_refresh = rfl_ref[0] != 0
+
+        def remirror(slot):
+            """Re-assert the pad-lane mirror invariant on a freshly
+            staged block, in the storage dtype (exact lane copies):
+            P[j] = P[j+ny] for j < lpad, P[j] = P[j-ny] for
+            j >= lpad+ny. One timestep invalidates one pad lane per
+            side (the nyp-periodic roll feeds the outermost lanes from
+            the wrong edge), so this only needs to run every
+            refresh_interval() passes — the caller's flag gates it."""
+
+            @pl.when(do_refresh)
+            def _():
+                lane = jax.lax.broadcasted_iota(jnp.int32, (br, nyp), 1)
+                for s in range(NSPEEDS):
+                    v = fbody[slot, s]
+                    left = pltpu.roll(v, nyp - ny, axis=1)
+                    right = pltpu.roll(v, ny, axis=1)
+                    v = jnp.where(lane < lpad, left, v)
+                    fbody[slot, s] = jnp.where(lane >= lpad + ny, right, v)
 
         def copies(k):
             if external_halo:
@@ -211,7 +283,7 @@ def _make_kernel(
                     jnp.asarray(k, jnp.int32) - 1, 0, jnp.int32(n_blocks - 1)
                 )
             else:
-                blk = _rem(k + (n_blocks - 1), n_blocks)
+                blk = _rem(k + (start + n_blocks - 1), n_blocks)
             slot = _rem(k, SLOTS)
             r0 = blk * jnp.int32(br)
             out = [
@@ -231,7 +303,7 @@ def _make_kernel(
                 )
             return out
 
-        def start(k):
+        def begin(k):
             for c in copies(k):
                 c.start()
 
@@ -245,16 +317,19 @@ def _make_kernel(
         # vector block (src/latticeboltzmann.c:350-358)
         @pl.when(i == 0)
         def _():
-            for k in range(min(SLOTS - 1, n_blocks + 2)):
-                start(k)
+            for k in range(min(SLOTS - 1, length + 2)):
+                begin(k)
             wait(0)
             wait(1)
+            remirror(0)  # SLOTS >= 4, so issues 0 and 1 sit in slots 0, 1
+            remirror(1)
 
-        @pl.when(i + SLOTS - 1 < n_blocks + 2)
+        @pl.when(i + SLOTS - 1 < length + 2)
         def _():
-            start(i + SLOTS - 1)
+            begin(i + SLOTS - 1)
 
         wait(i + 2)
+        remirror(_rem(i + 2, SLOTS))
 
         if external_halo:
             # patch the T neighbor-device rows into the resident edge
@@ -280,30 +355,55 @@ def _make_kernel(
         s_body = _rem(i + 1, SLOTS)  # block i
         s_bot = _rem(i + 2, SLOTS)  # block i+1: its first row is our bottom halo
 
+        # Forcing touches column j=0 (lane lpad) AND every pad mirror of
+        # it (lanes with (j - lpad) mod ny == 0) — column ny-1's pull
+        # reads the right mirror, so skipping them would break both the
+        # wrap physics and the mirror invariant. The guard values at a
+        # mirror equal the real ones, so all copies make the same
+        # all-or-nothing decision. Real lattices have exactly two such
+        # lanes (lpad and lpad+ny); lattices narrower than their padding
+        # have more.
+        force_lanes = [j for j in range(nyp) if (j - lpad) % ny == 0]
+        force_blocks = sorted({j // LANE * LANE for j in force_lanes})
+
         def forced(planes, wall):
             """Channel forcing on column j=0 (src/latticeboltzmann.c:
             489-518), applied to any row set (body or halo rows — halo
             rows must be post-forcing because boundary outputs pull
-            from them). The forced column lives in lane 0, so all the
-            guard/update arithmetic runs on a single 128-lane sub-block,
-            written back with a static lane concat."""
+            from them). All guard/update arithmetic runs on the one or
+            two 128-lane sub-blocks containing the forced lanes, written
+            back with static lane concats (dynamic_update_slice has no
+            Pallas TPU lowering). wall=None means the window is known
+            solid-free (the wall guard term is identically false)."""
             r = planes[0].shape[0]
-            sub = [p[:, :LANE] for p in planes]
-            lane0 = jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 1) == 0
-            ok = (
-                lane0
-                & jnp.logical_not(wall[:, :LANE])
-                & (sub[6] - a58 > zero)
-                & (sub[3] - a14 > zero)
-                & (sub[7] - a58 > zero)
-            )
+            oks = {}
+            for b in force_blocks:
+                lane = b + jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 1)
+                ok = None
+                for j in force_lanes:
+                    if b <= j < b + LANE:
+                        ok = (lane == j) if ok is None else ok | (lane == j)
+                if wall is not None:
+                    ok &= jnp.logical_not(wall[:, b : b + LANE])
+                oks[b] = (
+                    ok
+                    & (planes[6][:, b : b + LANE] - a58 > zero)
+                    & (planes[3][:, b : b + LANE] - a14 > zero)
+                    & (planes[7][:, b : b + LANE] - a58 > zero)
+                )
             out = list(planes)
             for s, delta in ((6, -a58), (3, -a14), (7, -a58),
                              (5, a58), (1, a14), (8, a58)):
-                new_sub = jnp.where(ok, sub[s] + delta, sub[s])
-                # static lane concat (dynamic_update_slice has no Pallas
-                # TPU lowering)
-                out[s] = jnp.concatenate([new_sub, planes[s][:, LANE:]], axis=1)
+                segs, pos = [], 0
+                for b in force_blocks:
+                    if b > pos:
+                        segs.append(planes[s][:, pos:b])
+                    sub = planes[s][:, b : b + LANE]
+                    segs.append(jnp.where(oks[b], sub + delta, sub))
+                    pos = b + LANE
+                if pos < nyp:
+                    segs.append(planes[s][:, pos:])
+                out[s] = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
             return out
 
         def stream_collide_window(f, wall, cls=None):
@@ -318,8 +418,15 @@ def _make_kernel(
             pulled = []
             for s in range(NSPEEDS):
                 ex, ey = int(E[s, 0]), int(E[s, 1])
+                if "pull" in ablate:
+                    ex, ey = 0, 0
                 col = f[s][1 - ex : R - 1 - ex]  # (R-2, nyp)
-                pulled.append(_roll_y_periodic(col, ey, ny) if ey else col)
+                # pure lane roll: the periodic wrap is carried by the
+                # mirror pad lanes (pick_layout), not a per-step edge fix
+                shift = ey if ("negroll" in ablate and ey < 0) else ey % nyp
+                pulled.append(pltpu.roll(col, shift, axis=1) if ey else col)
+            if "collide" in ablate:
+                return pulled
 
             # moments with shared partial sums (same values as the
             # reference's sums, reassociated for op count)
@@ -329,7 +436,15 @@ def _make_kernel(
             d58 = p[5] + p[8]
             d67 = p[6] + p[7]
             density = (p[0] + (p[1] + p[3])) + ((p[2] + p[4]) + (d56 + d78))
-            inv_rho = one / density
+            if fast_math or "recip" in ablate:
+                # hardware approximate reciprocal: max rel err 1.6e-5
+                # measured on v5e, -7 us/step. This is the framework's
+                # analog of the reference's -Ofast build (Makefile:2),
+                # which licenses exactly this class of substitution;
+                # --exact-math / fast_math=False restores IEEE division.
+                inv_rho = pl.reciprocal(density, approx=True)
+            else:
+                inv_rho = one / density
             u_x = ((p[2] - p[4]) + (d56 - d78)) * inv_rho
             u_y = ((p[1] - p[3]) + (d58 - d67)) * inv_rho
             # directional e_i . u, pre-scaled by 3/c^2 (as the reference's
@@ -348,8 +463,45 @@ def _make_kernel(
             c1 = one - itau
             iw0, iw14, iw58 = itau * w[0], itau * w[1], itau * w[5]
             r0_, r14, r58 = iw0 * density, iw14 * density, iw58 * density
+
+            # bounce-back select fused into the relaxation per pair: both
+            # pair members' pulled planes are live here anyway (out[sp]
+            # bounces to p[sn] and vice versa), so the masked select
+            # rides the same vector-loop pass instead of 9 standalone
+            # select passes over the window (which measured ~25% of the
+            # whole step, scripts/anatomy.py)
+            wall_c = cls_c = bounce = None
+            wf = iwf = None
+            if wall is not None and "walls" not in ablate:
+                wall_c = wall[1 : R - 1]
+                if cls is not None:
+                    cls_c = cls[1 : R - 1]
+                    # class codes are exact small floats, so equality is
+                    # safe; precedence was resolved in class_plane
+                    bounce = cls_c == np.float32(1.0)
+                elif "mulsel" in ablate:
+                    # perf-lab: arithmetic select a*(1-w) + b*w with
+                    # w in {0,1} — exact for nonnegative values, and the
+                    # muls/adds co-issue where vselects may be port-bound
+                    wf = jnp.where(wall_c, one, zero)
+                    iwf = jnp.where(wall_c, zero, one)
+
+            def finish(s, relaxed):
+                if wall_c is None:
+                    return relaxed
+                if cls_c is None:
+                    if wf is not None:
+                        return relaxed * iwf + p[int(OPPOSITE[s])] * wf
+                    return jnp.where(wall_c, p[int(OPPOSITE[s])], relaxed)
+                # slip (specular reflection, the "reflect" BC the
+                # reference names but never implements,
+                # src/latticeboltzmann.c:21)
+                o = jnp.where(cls_c == np.float32(2.0), p[int(REFLECT_X[s])], relaxed)
+                o = jnp.where(cls_c == np.float32(3.0), p[int(REFLECT_Y[s])], o)
+                return jnp.where(bounce, p[int(OPPOSITE[s])], o)
+
             out = [None] * NSPEEDS
-            out[0] = c1 * p[0] + r0_ * base
+            out[0] = finish(0, c1 * p[0] + r0_ * base)
             for sp, sn, r_ in ((1, 3, r14), (2, 4, r14), (5, 7, r58), (6, 8, r58)):
                 if sp == 1:
                     eu = uy3
@@ -360,27 +512,27 @@ def _make_kernel(
                 else:  # sp == 6
                     eu = ux3 - uy3
                 q = base + half * eu * eu
-                out[sp] = c1 * p[sp] + r_ * (q + eu)
-                out[sn] = c1 * p[sn] + r_ * (q - eu)
+                out[sp] = finish(sp, c1 * p[sp] + r_ * (q + eu))
+                out[sn] = finish(sn, c1 * p[sn] + r_ * (q - eu))
 
-            wall_c = wall[1 : R - 1]
-            if cls is None:
-                return [
-                    jnp.where(wall_c, p[int(OPPOSITE[s])], out[s])
-                    for s in range(NSPEEDS)
-                ]
-            # slip (specular reflection, the "reflect" BC the reference
-            # names but never implements, src/latticeboltzmann.c:21):
-            # class codes are exact small floats, so equality is safe.
-            # Precedence was resolved when the class plane was built.
-            cls_c = cls[1 : R - 1]
-            bounce = cls_c == np.float32(1.0)  # NOT wall_c: that includes slip sites
-            res = []
-            for s in range(NSPEEDS):
-                o = jnp.where(cls_c == np.float32(2.0), p[int(REFLECT_X[s])], out[s])
-                o = jnp.where(cls_c == np.float32(3.0), p[int(REFLECT_Y[s])], o)
-                res.append(jnp.where(bounce, p[int(OPPOSITE[s])], o))
-            return res
+            if "collide2x" in ablate:
+                # perf-lab: run the collision arithmetic a second time
+                # with a CSE-proof perturbed relaxation rate, to measure
+                # whether the VPU math is hidden behind DMA (time
+                # unchanged) or exposed (grows by one collision's worth).
+                # The duplicate skips the wall selects — wall physics is
+                # not meaningful under this flag.
+                c1b = c1 * dtype(1.0 + 1e-6)
+                out2 = [None] * NSPEEDS
+                out2[0] = c1b * p[0] + r0_ * base
+                for sp, sn, r_ in ((1, 3, r14), (2, 4, r14), (5, 7, r58), (6, 8, r58)):
+                    eu = {1: uy3, 2: ux3, 5: ux3 + uy3, 6: ux3 - uy3}[sp]
+                    q = base + half * eu * eu
+                    out2[sp] = c1b * p[sp] + r_ * (q + eu)
+                    out2[sn] = c1b * p[sn] + r_ * (q - eu)
+                out = [half * (a + b) for a, b in zip(out, out2)]
+
+            return out
 
         # assemble the extended window: rows [r0-T, r0+br+T) from the
         # three resident blocks (cast up to compute precision if the
@@ -393,7 +545,10 @@ def _make_kernel(
             for s in range(NSPEEDS)
         ]
         cls = None
-        if wall_spec is None:
+        wall = None
+        if not wall_mode:
+            pass  # wall-free fast variant: no mask at all
+        elif wall_spec is None:
             codes = jnp.concatenate(
                 [wbody[s_top, br - T :], wbody[s_body], wbody[s_bot, :T]], axis=0
             )
@@ -404,24 +559,33 @@ def _make_kernel(
             # closed-form mask from iotas — no walls DMA. Window rows are
             # global rows [base - T, base + br + T) with periodic wrap at
             # the *global* row count (the shard offset arrives in SMEM on
-            # the sharded variant); padding lanes (col >= ny) are solid,
-            # as pad_state marks them.
+            # the sharded variant). Lanes map to real columns through the
+            # mirror layout (pad lanes mirror the opposite edge's columns,
+            # so pad-site dynamics — including walls — mirror real sites
+            # and the mirror invariant survives wall bounce-back).
             R = br + 2 * T
             wrap_n = cfg.nx if external_halo else nx
-            base = i * jnp.int32(br)
+            base = _rem(i + jnp.int32(start), n_blocks) * jnp.int32(br)
             if external_halo:
                 base = base + off_ref[0]
-            row0 = base - jnp.int32(T) + jnp.int32(wrap_n)
+            # row_shift: storage rows are a rotation of physical rows
+            # (wall_partition); the geometry tests run in physical rows
+            row0 = base + jnp.int32(row_shift) - jnp.int32(T) + jnp.int32(wrap_n)
             rows = _rem(row0 + jax.lax.broadcasted_iota(jnp.int32, (R, nyp), 0), wrap_n)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (R, nyp), 1)
-            wall = cols >= jnp.int32(ny)
+            # lane -> real column (multi-wrap periodic, matching pad_state)
+            shift = (round_up(lpad, ny) - lpad) % ny
+            cols = _rem(
+                jax.lax.broadcasted_iota(jnp.int32, (R, nyp), 1) + jnp.int32(shift),
+                ny,
+            )
+            wall = None
             for prim in wall_spec:
                 kind = prim[0]
                 if kind == "channel":
-                    wall |= (rows == 0) | (rows == jnp.int32(wrap_n - 1))
+                    w_ = (rows == 0) | (rows == jnp.int32(wrap_n - 1))
                 elif kind == "rect":
                     _, pr0, pr1, pc0, pc1 = prim
-                    wall |= (
+                    w_ = (
                         (rows >= jnp.int32(pr0))
                         & (rows < jnp.int32(pr1))
                         & (cols >= jnp.int32(pc0))
@@ -431,21 +595,44 @@ def _make_kernel(
                     _, ci2, cj2, r2q = prim
                     di = 2 * rows - jnp.int32(ci2)
                     dj = 2 * cols - jnp.int32(cj2)
-                    wall |= di * di + dj * dj <= jnp.int32(r2q)
+                    w_ = di * di + dj * dj <= jnp.int32(r2q)
                 else:
                     raise ValueError(f"unknown wall-spec primitive {kind!r}")
+                wall = w_ if wall is None else wall | w_
+            if wall is None:  # empty spec: fully periodic fluid box
+                wall = jnp.zeros((R, nyp), jnp.bool_)
 
-        # advance T steps in VMEM, trimming one invalid row per side per
-        # step (forcing precedes every step: src/latticeboltzmann.c:192,201)
-        for _ in range(T):
-            f = forced(f, wall)
-            f = stream_collide_window(f, wall, cls)
-            wall = wall[1:-1]
-            if cls is not None:
-                cls = cls[1:-1]
+        def advance(masked: bool):
+            """T steps in VMEM, trimming one invalid row per side per
+            step (forcing precedes every step: src/latticeboltzmann.c:
+            192,201). masked=False is the solid-free fast variant: the
+            9 bounce-back selects per step were ~24% of the kernel's VPU
+            time (scripts/anatomy.py), and most windows have no solid
+            site now that pad lanes hold fluid mirrors."""
+            ff = f
+            ww = wall if masked else None
+            cc = cls if masked else None
+            for _ in range(T):
+                if "force" not in ablate:
+                    ff = forced(ff, ww)
+                ff = stream_collide_window(ff, ww, cc)
+                if ww is not None:
+                    ww = ww[1:-1]
+                if cc is not None:
+                    cc = cc[1:-1]
+            for s in range(NSPEEDS):
+                out_ref[s, :, :] = ff[s].astype(storage)
 
-        for s in range(NSPEEDS):
-            out_ref[s, :, :] = f[s].astype(storage)
+        # wall_mode=False is the wall-free fast variant: no mask, no
+        # bounce-back selects — where(False, a, b) == b exactly, so it is
+        # bitwise-identical to the masked variant on solid-free windows.
+        # The choice is STATIC (per kernel): a dynamic per-window branch
+        # (pl.when or lax.cond on a solid flag) measured +110 us/step on
+        # v5e — Mosaic predicates vector regions by executing both
+        # bodies. The runner instead partitions the grid into circular
+        # block segments (wall_segments) and launches the right kernel
+        # variant per segment.
+        advance(wall_mode and "walls" not in ablate)
 
     return kernel
 
@@ -462,17 +649,34 @@ def make_step(
     slots: int | None = None,
     wall_spec=None,
     has_slip: bool = False,
+    ablate: frozenset = frozenset(),
+    lpad: int = 0,
+    start: int = 0,
+    length: int | None = None,
+    wall_mode: bool = True,
+    row_shift: int = 0,
+    fast_math: bool = False,
 ):
     """Jittable padded-state half-step:
-    (f_src, dst_donor, walls_padded_f32) -> f_new, where f_new reuses
-    dst_donor's HBM buffer in place (input_output_aliases). Call twice
-    per timestep pair with buffer roles swapped — fixed roles per scan
-    iteration keep XLA from inserting carry copies.
+    (f_src, dst_donor, walls_padded_f32, [halos...], refresh) -> f_new,
+    where f_new reuses dst_donor's HBM buffer in place
+    (input_output_aliases). Call twice per timestep pair with buffer
+    roles swapped — fixed roles per scan iteration keep XLA from
+    inserting carry copies. `refresh` is a (1,) int32 flag: nonzero
+    makes the kernel re-mirror the pad lanes of every staged block
+    (raise it every refresh_interval() passes).
 
-    f: (9, nx, nyp); walls: (nx, nyp) float32 0/1 with padding lanes
-    (j >= cfg.ny) marked solid. With has_slip the walls plane instead
-    carries solid-class codes 0/1/2/3 (fluid / bounce-back / slip_x /
-    slip_y) — free-slip walls ride the existing mask DMA for free.
+    start/length/wall_mode select a circular block segment and its
+    kernel variant (see _make_kernel): only that segment's output rows
+    are written; the rest of the (aliased) donor buffer is untouched,
+    so chaining segment calls composes a full pass.
+
+    f: (9, nx, nyp) in the mirror-pad layout (pick_layout / pad_state):
+    real columns at lanes [lpad, lpad+ny), pad lanes holding the
+    periodic continuation. walls: (nx, nyp) float32 0/1 padded the same
+    way. With has_slip the walls plane instead carries solid-class codes
+    0/1/2/3 (fluid / bounce-back / slip_x / slip_y) — free-slip walls
+    ride the existing mask DMA for free.
     """
     dtype = np.dtype(cfg.dtype).type
     itemsize = np.dtype(cfg.dtype).itemsize
@@ -486,9 +690,13 @@ def make_step(
             else 4
         )
     kernel = _make_kernel(
-        cfg, nx, nyp, br, dtype, temporal, external_halo, slots, wall_spec, has_slip
+        cfg, nx, nyp, br, dtype, temporal, external_halo, slots, wall_spec, has_slip,
+        ablate, lpad, start, length, wall_mode, row_shift, fast_math,
     )
     n_blocks = nx // br
+    if length is None:
+        length = n_blocks
+    stage_walls = walls_dma and wall_mode
 
     in_specs = [
         # pinned to HBM (not ANY): with ANY the compiler may promote
@@ -512,30 +720,46 @@ def make_step(
         else:
             # shard's global row offset, (1,) int32 in SMEM
             in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    # pad-remirror flag, (1,) int32 in SMEM (always the last input)
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+
+    if start == 0 and length == n_blocks:
+        out_index = lambda i: (0, i, 0)
+    elif start + length <= n_blocks:
+        out_index = lambda i: (0, i + start, 0)
+    else:  # the (at most one) circularly wrapping segment
+        out_index = lambda i: (
+            0,
+            jax.lax.rem(i + jnp.int32(start), jnp.int32(n_blocks)),
+            0,
+        )
 
     step = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((NSPEEDS, nx, nyp), cfg.dtype),
-        grid=(n_blocks,),
+        grid=(length,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (NSPEEDS, br, nyp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (NSPEEDS, br, nyp), out_index, memory_space=pltpu.VMEM
         ),
         input_output_aliases={1: 0},
         scratch_shapes=(
             [pltpu.VMEM((slots, NSPEEDS, br, nyp), cfg.dtype)]  # rotating body slots
-            + ([pltpu.VMEM((slots, br, nyp), jnp.float32)] if walls_dma else [])
-            + [pltpu.SemaphoreType.DMA((slots, 2 if walls_dma else 1))]
+            + ([pltpu.VMEM((slots, br, nyp), jnp.float32)] if stage_walls else [])
+            + [pltpu.SemaphoreType.DMA((slots, 2 if stage_walls else 1))]
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # raise the default 16MB scoped-vmem cap so larger row blocks
             # and deeper temporal windows fit (v5e has 128MB VMEM)
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(124 * nx * nyp * temporal),
-            bytes_accessed=int((2 * NSPEEDS * itemsize + (4 if walls_dma else 0)) * nx * nyp),
+            flops=int(124 * br * length * nyp * temporal),
+            bytes_accessed=int(
+                (2 * NSPEEDS * itemsize + (4 if stage_walls else 0))
+                * br * length * nyp
+            ),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -557,24 +781,127 @@ def class_plane(walls, slip_x=None, slip_y=None):
     return cls
 
 
-def pad_state(f, walls, cfg: LatticeConfig):
-    """Embed (9, NX, NY) state into the (9, NX, NYP) padded layout;
-    padding lanes are marked solid and filled with edge values (they
-    never feed real sites — the lane-boundary analog of the reference's
-    NYPADDED stride padding, src/latticeboltzmann.c:69-76). `walls` may
-    be a bool mask or a float32 class-code plane (see class_plane)."""
-    nyp = round_up(cfg.ny, LANE)
-    pad = nyp - cfg.ny
-    f_p = jnp.pad(jnp.asarray(f), ((0, 0), (0, 0), (0, pad)), mode="edge")
-    walls_f = jnp.asarray(walls).astype(jnp.float32)
-    walls_p = jnp.pad(walls_f, ((0, 0), (0, pad)), mode="constant", constant_values=1.0)
-    return f_p, walls_p
+def pad_state(f, walls, cfg: LatticeConfig, nyp: int, lpad: int,
+              row_shift: int = 0):
+    """Embed (9, NX, NY) state into the (9, NX, NYP) mirror-pad layout
+    (pick_layout): real columns at lanes [lpad, lpad+ny), pad lanes on
+    both sides holding the periodic continuation of the lattice — the
+    lane-boundary analog of the reference's NYPADDED stride padding
+    (src/latticeboltzmann.c:69-76), except the pads carry live mirror
+    values so the kernel's y wrap is a pure lane roll. `walls` may be a
+    bool mask or a float32 class-code plane (see class_plane); its pads
+    mirror the real wall pattern so pad-site dynamics mirror real sites.
+
+    row_shift rotates the x axis (storage row r holds physical row
+    (r + row_shift) mod NX — exact for the periodic lattice; see
+    wall_partition). unpad_state inverts both transformations."""
+    ny = cfg.ny
+    idx = (np.arange(nyp) - lpad) % ny  # lane -> real column, multi-wrap
+    f_p = jnp.asarray(f)
+    walls_p = jnp.asarray(walls).astype(jnp.float32)
+    if row_shift:
+        ridx = (np.arange(f_p.shape[1]) + row_shift) % f_p.shape[1]
+        f_p = f_p[:, ridx]
+        walls_p = walls_p[ridx]
+    return f_p[:, :, idx], walls_p[:, idx]
+
+
+def unpad_state(f_p, cfg: LatticeConfig, lpad: int, row_shift: int = 0):
+    """Invert pad_state: (9, NX, NYP) storage layout -> (9, NX, NY)."""
+    out = f_p[:, :, lpad : lpad + cfg.ny]
+    if row_shift:
+        nx = out.shape[1]
+        ridx = (np.arange(nx) - row_shift) % nx
+        out = out[:, ridx]
+    return out
 
 
 # default temporal-blocking depth: T=4 measured fastest on v5e
 # (BR=32/T=4: 16,014 MLUPS on 800x4000 f32; deeper windows lose to
 # window-overlap compute)
 DEFAULT_TEMPORAL = 4
+
+
+def _flag(x):
+    """Traced bool -> (1,) int32 SMEM-shaped refresh flag."""
+    return jnp.reshape(jnp.asarray(x, jnp.int32), (1,))
+
+
+def wall_segments(walls, br: int, temporal: int):
+    """Partition the row blocks into circularly-contiguous runs of
+    solid-containing and solid-free temporal windows.
+
+    Window b covers rows [b*br - T, b*br + br + T) with periodic x wrap.
+    Returns a tuple of (start, length, wall_mode) runs covering every
+    block exactly once; the runner launches the masked or wall-free
+    kernel variant per run. For the reference scene (channel + barrier,
+    src/latticeboltzmann.c:567-578) this is two runs — the walls hug
+    row 0/NX-1 and the barrier rows — and 68% of blocks take the
+    select-free fast kernel."""
+    m = np.asarray(walls)
+    row = (m.astype(np.float64) > 0).any(axis=1)
+    nx = row.shape[0]
+    T = temporal
+    nb = nx // br
+    ext = np.r_[row[nx - T :], row, row[:T]]
+    flags = np.array([ext[b * br : b * br + br + 2 * T].any() for b in range(nb)])
+    if flags.all() or not flags.any():
+        return ((0, nb, bool(flags.any())),)
+    s0 = next(b for b in range(nb) if flags[b] != flags[b - 1])
+    runs = []
+    run_start, run_flag, run_len = s0, bool(flags[s0]), 0
+    for k in range(nb):
+        b = (s0 + k) % nb
+        if bool(flags[b]) != run_flag:
+            runs.append((run_start, run_len, run_flag))
+            run_start, run_flag, run_len = b, bool(flags[b]), 0
+        run_len += 1
+    runs.append((run_start, run_len, run_flag))
+    return tuple(runs)
+
+
+def wall_partition(walls, br: int, temporal: int):
+    """(row_shift, segments): wall_segments rebased by a storage-row
+    rotation so every segment is an affine (non-wrapping) block run.
+
+    The lattice is x-periodic, so storing it rotated by row_shift is an
+    exact relabeling; it buys two things measured on v5e: the circularly
+    wrapping segment's `rem` output index map cost +12.5 us/step (it
+    defeats Mosaic's output pipelining), and rebasing merges the wrapped
+    run into one launch (each extra launch is ~+4 us/step). Segments
+    write disjoint output rows from the same input state, so their order
+    within a pass is free; masked runs go first — masked-first measured
+    ~13 us/step faster than free-first on v5e."""
+    segs = wall_segments(walls, br, temporal)
+    if len(segs) == 1:
+        return 0, segs
+    nb = np.asarray(walls).shape[0] // br
+    s0 = segs[0][0]
+    rebased = tuple(((s - s0) % nb, ln, w) for (s, ln, w) in segs)
+    rebased = tuple(sorted(rebased, key=lambda t: (not t[2], t[0])))
+    return s0 * br, rebased
+
+
+def _make_pass(cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip,
+               lpad, segs, row_shift=0, fast_math=False):
+    """One full kernel pass (temporal steps) as a chain of segment
+    launches: each writes its circular block run into the shared aliased
+    donor buffer, so the chain composes the whole lattice update."""
+    steps = tuple(
+        make_step(
+            cfg, nx, nyp, br, interpret, temporal, wall_spec=wall_spec,
+            has_slip=has_slip, lpad=lpad, start=s, length=ln, wall_mode=w,
+            row_shift=row_shift, fast_math=fast_math,
+        )
+        for (s, ln, w) in segs
+    )
+
+    def one_pass(src, dst, walls_p, rfl):
+        for st in steps:
+            dst = st(src, dst, walls_p, rfl)
+        return dst
+
+    return one_pass
 
 
 @functools.lru_cache(maxsize=64)
@@ -587,20 +914,30 @@ def _make_runner(
     temporal: int,
     wall_spec=None,
     has_slip: bool = False,
+    lpad: int = 0,
+    segs=((0, None, True),),
+    row_shift: int = 0,
+    fast_math: bool = False,
 ):
     """One persistent jitted runner per configuration: advances
     2*temporal*n_pairs steps with a dynamic pair count (fori_loop), so
-    changing the step count never recompiles."""
-    stepT = make_step(
-        cfg, nx, nyp, br, interpret, temporal, wall_spec=wall_spec, has_slip=has_slip
+    changing the step count never recompiles. Every refresh_interval()
+    passes the kernel re-mirrors the pad lanes (see pick_layout)."""
+    one_pass = _make_pass(
+        cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip, lpad, segs,
+        row_shift, fast_math,
     )
+    K = refresh_interval(lpad, nyp - lpad - cfg.ny, cfg.ny, temporal)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def runner(f_p, scratch, walls_p, n_pairs):
-        def body(_, carry):
+        def body(it, carry):
             a, b = carry
-            b = stepT(a, b, walls_p)
-            a = stepT(b, a, walls_p)
+            p0 = 2 * jnp.asarray(it, jnp.int32)
+            b = one_pass(a, b, walls_p,
+                         _flag(jax.lax.rem(p0, jnp.int32(K)) == 0))
+            a = one_pass(b, a, walls_p,
+                         _flag(jax.lax.rem(p0 + 1, jnp.int32(K)) == 0))
             return (a, b)
 
         a, b = jax.lax.fori_loop(0, n_pairs, body, (f_p, scratch))
@@ -620,8 +957,16 @@ def run_steps(
     wall_spec=None,
     slip_x=None,
     slip_y=None,
+    fast_math: bool = False,
 ):
     """Simulation-backend adapter: unpadded in, unpadded out.
+
+    fast_math=True substitutes the hardware approximate reciprocal for
+    1/rho (max rel err 1.6e-5 on v5e) — the analog of the reference's
+    -Ofast build (Makefile:2). Off by default: in isolation it measured
+    -7 us/step, but in the full segmented kernel it is ~7 us/step
+    SLOWER (it breaks a Mosaic fusion around the moments), so IEEE
+    division wins on both accuracy and speed today.
 
     Each loop iteration advances two kernel passes (A->B then B->A, each
     `temporal` timesteps) with fixed buffer roles, exactly the
@@ -634,16 +979,18 @@ def run_steps(
     if has_slip:
         wall_spec = None  # slip masks are arbitrary; DMA the class plane
     nx = f.shape[1]
+    t0 = DEFAULT_TEMPORAL if temporal is None else temporal
+    nyp, lpad = pick_layout(cfg.ny, max(t0, 1))
     br = pick_block_config(
         nx,
-        round_up(cfg.ny, LANE),
+        nyp,
         np.dtype(cfg.dtype).itemsize,
         walls_dma=wall_spec is None,
     )[0]
-    if br == 0 or np.dtype(cfg.dtype) == np.float64:
-        # odd shapes, and float64 (software-emulated on TPU — a
-        # correctness config, not a perf config; SURVEY.md section 7
-        # 'hard parts') route to the XLA engine
+    if br == 0 or np.dtype(cfg.dtype) == np.float64 or cfg.ny < max(t0, 1):
+        # odd shapes, float64 (software-emulated on TPU — a correctness
+        # config, not a perf config; SURVEY.md section 7 'hard parts'),
+        # and degenerate widths route to the XLA engine
         from . import stream_collide
 
         return stream_collide.run_steps(f, walls, cfg, n_steps, slip_x, slip_y)
@@ -651,20 +998,24 @@ def run_steps(
         # interpreter mode is a semantics tool — temporal blocking only
         # multiplies its cost
         temporal = 1 if interpret else min(DEFAULT_TEMPORAL, br)
-    nyp = round_up(cfg.ny, LANE)
     mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
-    f_p, walls_p = pad_state(f, mask, cfg)
-    runner = _make_runner(cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip)
+    row_shift, segs = wall_partition(np.asarray(mask), br, temporal)
+    f_p, walls_p = pad_state(f, mask, cfg, nyp, lpad, row_shift)
+    runner = _make_runner(
+        cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip, lpad, segs,
+        row_shift, fast_math,
+    )
 
     n_pairs = n_steps // (2 * temporal)
     a, b = runner(f_p, jnp.zeros_like(f_p), walls_p, n_pairs)
     rem = n_steps % (2 * temporal)
     if rem:
         rem_runner = _make_rem_runner(
-            cfg, nx, nyp, br, interpret, rem, wall_spec, has_slip
+            cfg, nx, nyp, br, interpret, rem, wall_spec, has_slip, lpad, segs,
+            row_shift, fast_math,
         )
         a = rem_runner(a, b, walls_p)
-    return a[:, :, : cfg.ny]
+    return unpad_state(a, cfg, lpad, row_shift)
 
 
 @functools.lru_cache(maxsize=64)
@@ -679,6 +1030,10 @@ def _make_probed_runner(
     n_chunks: int,
     wall_spec=None,
     has_slip: bool = False,
+    lpad: int = 0,
+    segs=((0, None, True),),
+    row_shift: int = 0,
+    fast_math: bool = False,
 ):
     """Probe-fused runner: advances n_chunks * every steps under ONE jit,
     emitting (rho, u_x, u_y) at the probe sites every `every` steps into
@@ -695,17 +1050,20 @@ def _make_probed_runner(
     from .stream_collide import probe_values
 
     if every % (2 * temporal) == 0:
-        stepP = make_step(cfg, nx, nyp, br, interpret, temporal,
-                          wall_spec=wall_spec, has_slip=has_slip)
+        t_used = temporal
         pairs = every // (2 * temporal)
     elif every % 2 == 0:
-        stepP = make_step(cfg, nx, nyp, br, interpret, 1,
-                          wall_spec=wall_spec, has_slip=has_slip)
+        t_used = 1
         pairs = every // 2
     else:
-        stepP = make_step(cfg, nx, nyp, br, interpret, 1,
-                          wall_spec=wall_spec, has_slip=has_slip)
+        t_used = 1
         pairs = 0  # odd path below
+    stepP = _make_pass(
+        cfg, nx, nyp, br, interpret, t_used, wall_spec, has_slip, lpad, segs,
+        row_shift, fast_math,
+    )
+
+    on = _flag(True)  # diagnostics mode: re-mirror pads every pass
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def runner(a, b, walls_p, probes):
@@ -713,8 +1071,8 @@ def _make_probed_runner(
             def body(carry, _):
                 def inner(_, c):
                     x, y = c
-                    y = stepP(x, y, walls_p)
-                    x = stepP(y, x, walls_p)
+                    y = stepP(x, y, walls_p, on)
+                    x = stepP(y, x, walls_p, on)
                     return (x, y)
 
                 a_, b_ = jax.lax.fori_loop(0, pairs, inner, carry)
@@ -723,7 +1081,7 @@ def _make_probed_runner(
             def body(carry, _):
                 a_, b_ = carry
                 for _ in range(every):
-                    a_, b_ = stepP(a_, b_, walls_p), a_
+                    a_, b_ = stepP(a_, b_, walls_p, on), a_
                 return (a_, b_), probe_values(a_, probes)
 
         (a, b), series = jax.lax.scan(body, (a, b), length=n_chunks)
@@ -744,6 +1102,7 @@ def run_steps_probed(
     wall_spec=None,
     slip_x=None,
     slip_y=None,
+    fast_math: bool = False,
 ):
     """(f_final, series): advance n_steps sampling probes every `every`
     steps, all on device with one host sync. series: (n_steps//every, P, 3).
@@ -756,24 +1115,29 @@ def run_steps_probed(
     if has_slip:
         wall_spec = None
     nx = f.shape[1]
-    nyp = round_up(cfg.ny, LANE)
+    nyp, lpad = pick_layout(cfg.ny, DEFAULT_TEMPORAL)
     br = pick_block_config(
         nx, nyp, np.dtype(cfg.dtype).itemsize, walls_dma=wall_spec is None
     )[0]
-    if br == 0 or np.dtype(cfg.dtype) == np.float64:
+    if br == 0 or np.dtype(cfg.dtype) == np.float64 or cfg.ny < DEFAULT_TEMPORAL:
         fout, series = stream_collide.run_steps_probed(
             f, walls, cfg, n_steps, probes, slip_x, slip_y
         )
         return fout, series[every - 1 :: every]
     temporal = 1 if interpret else min(DEFAULT_TEMPORAL, br)
     mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
-    f_p, walls_p = pad_state(f, mask, cfg)
+    row_shift, segs = wall_partition(np.asarray(mask), br, temporal)
+    f_p, walls_p = pad_state(f, mask, cfg, nyp, lpad, row_shift)
+    # probe sites live at storage row (i - row_shift) mod nx, lane j + lpad
+    probes = jnp.stack(
+        [(probes[:, 0] - row_shift) % nx, probes[:, 1] + lpad], axis=1
+    )
     runner = _make_probed_runner(
         cfg, nx, nyp, br, interpret, every, temporal, n_steps // every,
-        wall_spec, has_slip,
+        wall_spec, has_slip, lpad, segs, row_shift, fast_math,
     )
     fout_p, series = runner(f_p, jnp.zeros_like(f_p), walls_p, probes)
-    return fout_p[:, :, : cfg.ny], series
+    return unpad_state(fout_p, cfg, lpad, row_shift), series
 
 
 @functools.lru_cache(maxsize=64)
@@ -786,13 +1150,21 @@ def _make_rem_runner(
     rem: int,
     wall_spec=None,
     has_slip: bool = False,
+    lpad: int = 0,
+    segs=((0, None, True),),
+    row_shift: int = 0,
+    fast_math: bool = False,
 ):
-    step1 = make_step(cfg, nx, nyp, br, interpret, 1, wall_spec=wall_spec, has_slip=has_slip)
+    one_pass = _make_pass(
+        cfg, nx, nyp, br, interpret, 1, wall_spec, has_slip, lpad, segs,
+        row_shift, fast_math,
+    )
+    on = _flag(True)  # few passes: re-mirror pads every pass
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def rem_runner(a, b, walls_p):
         for _ in range(rem):
-            a, b = step1(a, b, walls_p), a
+            a, b = one_pass(a, b, walls_p, on), a
         return a
 
     return rem_runner

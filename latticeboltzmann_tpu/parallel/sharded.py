@@ -212,6 +212,7 @@ def make_pallas_run_steps(
     interpret: bool = False,
     wall_spec=None,
     has_slip: bool = False,
+    fast_math: bool = False,
 ):
     """Production multi-chip path: the fused Pallas kernel runs on each
     device's local row block, with the x halos (T rows of f + walls per
@@ -232,25 +233,38 @@ def make_pallas_run_steps(
     if cfg.nx % n_dev:
         raise ValueError(f"NX={cfg.nx} not divisible by {n_dev} devices")
     L = cfg.nx // n_dev
+    t0 = fk.DEFAULT_TEMPORAL if temporal is None else temporal
+    nyp, lpad = fk.pick_layout(cfg.ny, max(t0, 1))
+    rpad = nyp - lpad - cfg.ny
     br = fk.pick_block_config(
         L,
-        fk.round_up(cfg.ny, fk.LANE),
+        nyp,
         np.dtype(cfg.dtype).itemsize,
         walls_dma=wall_spec is None,
     )[0]
-    if br == 0:
+    if br == 0 or cfg.ny < max(t0, 1):
         raise ValueError(f"local rows {L} not tileable; use the 'sharded' XLA backend")
     if temporal is None:
         temporal = min(fk.DEFAULT_TEMPORAL, br)
     T = temporal
-    nyp = fk.round_up(cfg.ny, fk.LANE)
+    refresh_k = fk.refresh_interval(lpad, rpad, cfg.ny, T)
     step = fk.make_step(cfg, L, nyp, br, interpret, T, external_halo=True,
-                        wall_spec=wall_spec, has_slip=has_slip)
+                        wall_spec=wall_spec, has_slip=has_slip, lpad=lpad,
+                        fast_math=fast_math)
     step1 = fk.make_step(cfg, L, nyp, br, interpret, 1, external_halo=True,
-                         wall_spec=wall_spec, has_slip=has_slip)
+                         wall_spec=wall_spec, has_slip=has_slip, lpad=lpad,
+                         fast_math=fast_math)
 
     fspec = P(None, AXIS, None)
     wspec = P(AXIS, None)
+
+    lane_to_col = (np.arange(nyp) - lpad) % cfg.ny
+
+    def _remirror(x):
+        """Rebuild the mirror pad lanes of a (..., nyp) slab from its
+        real columns — applied to the halo rows each pass (they come
+        from the neighbor's stored state, whose pads decay like ours)."""
+        return x[..., lpad : lpad + cfg.ny][..., lane_to_col]
 
     def _make_loop(rem: int):
         def sharded_loop(f_l, walls_l, n_pairs):
@@ -265,24 +279,28 @@ def make_pallas_run_steps(
                 # shard's global row offset for the in-kernel iota mask
                 offset = (jax.lax.axis_index(AXIS) * L).astype(jnp.int32)[None]
 
-            def one_pass(src, donor, stepfn, t):
-                htop = jax.lax.ppermute(src[:, L - t :, :], AXIS, down)
-                hbot = jax.lax.ppermute(src[:, :t, :], AXIS, up)
+            def one_pass(src, donor, stepfn, t, rfl):
+                htop = _remirror(jax.lax.ppermute(src[:, L - t :, :], AXIS, down))
+                hbot = _remirror(jax.lax.ppermute(src[:, :t, :], AXIS, up))
                 if wall_spec is not None:
-                    return stepfn(src, donor, walls_l, htop, hbot, offset)
+                    return stepfn(src, donor, walls_l, htop, hbot, offset, rfl)
                 wt = whtop[T - t :] if t < T else whtop
                 wb = whbot[:t]
-                return stepfn(src, donor, walls_l, htop, hbot, wt, wb)
+                return stepfn(src, donor, walls_l, htop, hbot, wt, wb, rfl)
 
-            def body(_, carry):
+            def body(it, carry):
                 a, b = carry
-                b = one_pass(a, b, step, T)
-                a = one_pass(b, a, step, T)
+                p0 = 2 * jnp.asarray(it, jnp.int32)
+                K = jnp.int32(refresh_k)
+                b = one_pass(a, b, step, T, fk._flag(jax.lax.rem(p0, K) == 0))
+                a = one_pass(b, a, step, T,
+                             fk._flag(jax.lax.rem(p0 + 1, K) == 0))
                 return (a, b)
 
             a, b = jax.lax.fori_loop(0, n_pairs, body, (f_l, jnp.zeros_like(f_l)))
+            on = fk._flag(True)
             for _ in range(rem):
-                a, b = one_pass(a, b, step1, 1), a
+                a, b = one_pass(a, b, step1, 1, on), a
             return a
 
         return sharded_loop
@@ -291,7 +309,7 @@ def make_pallas_run_steps(
     def _jitted(rem: int):
         @partial(jax.jit, donate_argnums=(0,))
         def run(f, walls, n_pairs):
-            f_p, walls_p = fk.pad_state(f, walls, cfg)
+            f_p, walls_p = fk.pad_state(f, walls, cfg, nyp, lpad)
             out = jax.shard_map(
                 _make_loop(rem),
                 mesh=mesh,
@@ -302,7 +320,7 @@ def make_pallas_run_steps(
                 # through them
                 check_vma=False,
             )(f_p, walls_p, n_pairs)
-            return out[:, :, : cfg.ny]
+            return out[:, :, lpad : lpad + cfg.ny]
 
         return run
 
@@ -320,7 +338,8 @@ def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False):
     fused_kernel.class_plane)."""
     cache: dict = {}
 
-    def run(f, walls, cfg, n_steps, wall_spec=None, slip_x=None, slip_y=None):
+    def run(f, walls, cfg, n_steps, wall_spec=None, slip_x=None, slip_y=None,
+            fast_math=False):
         from ..ops import fused_kernel as fk
 
         m = mesh if mesh is not None else make_mesh()
@@ -328,10 +347,11 @@ def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False):
         if has_slip:
             wall_spec = None
             walls = fk.class_plane(walls, slip_x, slip_y)
-        key = (m, cfg, interpret, wall_spec, has_slip)
+        key = (m, cfg, interpret, wall_spec, has_slip, fast_math)
         if key not in cache:
             cache[key] = make_pallas_run_steps(
-                m, cfg, interpret=interpret, wall_spec=wall_spec, has_slip=has_slip
+                m, cfg, interpret=interpret, wall_spec=wall_spec,
+                has_slip=has_slip, fast_math=fast_math,
             )
         f, walls = shard_state(m, f, walls)
         return cache[key](f, walls, n_steps)

@@ -1,0 +1,414 @@
+"""On-chip kernel anatomy: where does the step time go?
+
+Measures, on the real TPU, the cost of each piece of the fused
+collide-stream kernel (ops/fused_kernel.py) at the headline config
+(800x4000 f32, spec walls), plus the raw ceilings that bound it:
+
+  xla_copy        XLA's own streaming loop over the same bytes (the
+                  bandwidth ceiling the Pallas DMA path is judged against)
+  copy BR=..      rotating-slot pure-copy pipelines (the Pallas DMA
+                  ceiling at each block size)
+  roll shift=..   cost of pltpu.roll by +1 vs nyp-1 lanes (the periodic
+                  y-shift primitive: a 4095-lane roll lowered as a long
+                  permute chain would dominate the VPU budget)
+  ablations       full kernel with one piece removed at a time
+
+Usage:  python scripts/anatomy.py [--steps 400] [--section all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NX, NY = 800, 4000
+LANE = 128
+NYP = (NY + LANE - 1) // LANE * LANE
+NSP = 9
+
+
+def timed(fn, *args, steps_per_call=1, reps=3):
+    """Best wall time per inner step; forces results with a scalar fetch
+    (block_until_ready is unreliable through the axon tunnel)."""
+    out = fn(*args)
+    _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+        best = min(best, (time.perf_counter() - t0) / steps_per_call)
+    return best
+
+
+def timed_slope(fn_of_n, n1, n2, steps_per_n=1, reps=3):
+    """Per-step time from the slope between two call sizes — cancels the
+    fixed per-call cost (tunnel RPC + dispatch, ~25 ms here) exactly."""
+    fn_of_n(n1)  # compile/warm
+    t1 = timed(fn_of_n, n1, reps=reps)
+    t2 = timed(fn_of_n, n2, reps=reps)
+    return (t2 - t1) / ((n2 - n1) * steps_per_n)
+
+
+def report(label, dt, traffic_bytes=None, sites_steps=None):
+    line = f"{label:42s} {dt * 1e6:9.1f} us/pass"
+    if traffic_bytes:
+        line += f"  {traffic_bytes / dt / 1e9:7.1f} GB/s"
+    if sites_steps:
+        line += f"  {sites_steps / dt / 1e6:9.0f} MLUPS"
+    print(line, flush=True)
+
+
+# ---------------------------------------------------------------- xla ceiling
+
+
+def xla_ceiling(n_steps):
+    x = jnp.zeros((NSP, NX, NYP), jnp.float32)
+
+    @jax.jit
+    def loop(x, n):
+        return jax.lax.fori_loop(0, n, lambda _, v: v + 1.0, x)
+
+    dt = timed_slope(lambda n: loop(x, n), n_steps, 2 * n_steps)
+    report("xla elementwise loop", dt, traffic_bytes=2 * x.size * 4)
+
+
+# ------------------------------------------------------- copy-only pipelines
+
+
+def copy_pipeline(br, slots, n_steps, split_rows=0):
+    """The fused kernel's rotating-slot DMA structure with compute removed:
+    stage block (k-1) mod G into slot k mod SLOTS, then copy the body slot
+    to the output block. split_rows>0 splits each block DMA into row
+    chunks of that many rows on independent semaphores."""
+    n_blocks = NX // br
+    nsub = br // split_rows if split_rows else 1
+
+    def kernel(f_hbm, donor, out_ref, fbody, sems):
+        del donor
+        i = pl.program_id(0)
+
+        def copies(k):
+            blk = jax.lax.rem(k + (n_blocks - 1), n_blocks)
+            slot = jax.lax.rem(k, slots)
+            r0 = blk * jnp.int32(br)
+            if not split_rows:
+                return [
+                    pltpu.make_async_copy(
+                        f_hbm.at[:, pl.ds(r0, br), :], fbody.at[slot], sems.at[slot, 0]
+                    )
+                ]
+            return [
+                pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(r0 + c * split_rows, split_rows), :],
+                    fbody.at[slot, :, pl.ds(c * split_rows, split_rows), :],
+                    sems.at[slot, c],
+                )
+                for c in range(nsub)
+            ]
+
+        @pl.when(i == 0)
+        def _():
+            for k in range(min(slots - 1, n_blocks + 2)):
+                for c in copies(k):
+                    c.start()
+            for k in (0, 1):
+                for c in copies(k):
+                    c.wait()
+
+        @pl.when(i + slots - 1 < n_blocks + 2)
+        def _():
+            for c in copies(i + slots - 1):
+                c.start()
+
+        for c in copies(i + 2):
+            c.wait()
+
+        s_body = jax.lax.rem(i + 1, slots)
+        out_ref[...] = fbody[s_body]
+
+    step = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NSP, NX, NYP), jnp.float32),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (NSP, br, NYP), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        input_output_aliases={1: 0},
+        scratch_shapes=[
+            pltpu.VMEM((slots, NSP, br, NYP), jnp.float32),
+            pltpu.SemaphoreType.DMA((slots, max(nsub, 1))),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+    @jax.jit
+    def loop(a, b, n):
+        def body(_, c):
+            x, y = c
+            y = step(x, y)
+            x = step(y, x)
+            return (x, y)
+
+        return jax.lax.fori_loop(0, n, body, (a, b))
+
+    a = jnp.zeros((NSP, NX, NYP), jnp.float32)
+    b = jnp.zeros_like(a)
+    dt = timed_slope(lambda n: loop(a, b, n), n_steps // 2, n_steps, steps_per_n=2)
+    tag = f"copy BR={br} slots={slots}" + (f" split={split_rows}" if split_rows else "")
+    report(tag, dt, traffic_bytes=2 * a.size * 4)
+
+
+# ----------------------------------------------------------------- roll cost
+
+
+def roll_cost(shift, n_steps, rows=32, n_rolls=6):
+    """n_rolls chained lane-rolls on a resident (rows, NYP) block, looped
+    in VMEM — isolates the VPU cost of the periodic y-shift."""
+
+    def kernel(x_ref, o_ref):
+        v = x_ref[...]
+        for _ in range(n_rolls):
+            v = pltpu.roll(v, shift, axis=1)
+        o_ref[...] = v
+
+    step = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, NYP), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+
+    @jax.jit
+    def loop(x, n):
+        return jax.lax.fori_loop(0, n, lambda _, v: step(v), x)
+
+    x = jnp.zeros((rows, NYP), jnp.float32)
+    dt = timed_slope(lambda n: loop(x, n), n_steps, 2 * n_steps, steps_per_n=n_rolls)
+    print(f"roll shift={shift:5d} ({rows}x{NYP})            {dt * 1e9:9.1f} ns/roll", flush=True)
+
+
+# ---------------------------------------------------------- alignment probes
+
+
+def align_cost(offset, n_steps, rows=40, n_ops=8):
+    """Chained adds on (rows-2, NYP) sublane-offset slices of a resident
+    block — isolates the cost of operating on misaligned row windows
+    (the fused kernel's pulled planes are row-offset slices)."""
+
+    def kernel(x_ref, o_ref):
+        a = x_ref[offset : rows - 2 + offset]
+        b = x_ref[2 - offset : rows - offset]
+        v = a
+        for _ in range(n_ops):
+            v = v + b
+        o_ref[...] = v
+
+    step = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows - 2, NYP), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+
+    @jax.jit
+    def loop(x, n):
+        def body(_, v):
+            s = step(v)
+            return jnp.concatenate([s, v[rows - 2 :]], axis=0)
+
+        return jax.lax.fori_loop(0, n, body, x)
+
+    x = jnp.zeros((rows, NYP), jnp.float32)
+    dt = timed_slope(lambda n: loop(x, n), n_steps, 2 * n_steps, steps_per_n=n_ops)
+    print(f"add offset={offset} ({rows}x{NYP})             {dt * 1e9:9.1f} ns/op",
+          flush=True)
+
+
+def sublane_roll_cost(shift, n_steps, rows=40, n_rolls=8):
+    def kernel(x_ref, o_ref):
+        v = x_ref[...]
+        for _ in range(n_rolls):
+            v = pltpu.roll(v, shift, axis=0)
+        o_ref[...] = v
+
+    step = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, NYP), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+
+    @jax.jit
+    def loop(x, n):
+        return jax.lax.fori_loop(0, n, lambda _, v: step(v), x)
+
+    x = jnp.zeros((rows, NYP), jnp.float32)
+    dt = timed_slope(lambda n: loop(x, n), n_steps, 2 * n_steps, steps_per_n=n_rolls)
+    print(f"subroll shift={shift} ({rows}x{NYP})            {dt * 1e9:9.1f} ns/roll",
+          flush=True)
+
+
+# ----------------------------------------------------------------- ablations
+
+
+def ablation(name, ablate, n_steps, temporal=4, br=32, dtype="float32"):
+    from latticeboltzmann_tpu.core.geometry import channel_with_barrier, infer_spec
+    from latticeboltzmann_tpu.core.spec import LatticeConfig
+    from latticeboltzmann_tpu.models.engine import initial_state
+    from latticeboltzmann_tpu.ops import fused_kernel as fk
+
+    cfg = LatticeConfig(nx=NX, ny=NY, dtype=dtype)
+    walls = channel_with_barrier(NX, NY)
+    spec = infer_spec(walls)
+    f = initial_state(cfg)
+    nyp, lpad = fk.pick_layout(NY, max(temporal, 1))
+    f_p, walls_p = fk.pad_state(f, walls, cfg, nyp, lpad)
+    step = fk.make_step(
+        cfg, NX, nyp, br, temporal=temporal, wall_spec=spec, ablate=ablate,
+        lpad=lpad,
+    )
+    K = fk.refresh_interval(lpad, nyp - lpad - NY, NY, temporal)
+
+    @jax.jit
+    def loop(a, b, w, n):
+        def body(it, c):
+            x, y = c
+            p0 = 2 * jnp.asarray(it, jnp.int32)
+            y = step(x, y, w, fk._flag(jax.lax.rem(p0, jnp.int32(K)) == 0))
+            x = step(y, x, w, fk._flag(jax.lax.rem(p0 + 1, jnp.int32(K)) == 0))
+            return (x, y)
+
+        return jax.lax.fori_loop(0, n, body, (a, b))
+
+    b0 = jnp.zeros_like(f_p)
+    n_pairs = max(n_steps // (2 * temporal), 2)
+    dt = timed_slope(
+        lambda n: loop(f_p, b0, walls_p, n), n_pairs, 2 * n_pairs,
+        steps_per_n=2 * temporal,
+    )
+    report(f"kernel T={temporal} BR={br} {name}", dt, sites_steps=NX * NY)
+
+
+def production(n_steps, temporal=4, dtype="float32", segs=None, use_spec=True,
+               tag="", row_shift=0):
+    """The real run_steps path: wall_segments partition + chained
+    masked/wall-free segment kernels. segs overrides the partition
+    (perf-lab); use_spec=False exercises the DMA-mask path."""
+    from latticeboltzmann_tpu.core.geometry import channel_with_barrier, infer_spec
+    from latticeboltzmann_tpu.core.spec import LatticeConfig
+    from latticeboltzmann_tpu.models.engine import initial_state
+    from latticeboltzmann_tpu.ops import fused_kernel as fk
+
+    cfg = LatticeConfig(nx=NX, ny=NY, dtype=dtype)
+    walls = channel_with_barrier(NX, NY)
+    spec = infer_spec(walls) if use_spec else None
+    f = initial_state(cfg)
+    nyp, lpad = fk.pick_layout(NY, temporal)
+    br = fk.pick_block_config(
+        NX, nyp, np.dtype(dtype).itemsize, walls_dma=spec is None
+    )[0]
+    if segs is None:
+        row_shift, segs = fk.wall_partition(walls, br, temporal)
+    f_p, walls_p = fk.pad_state(f, walls, cfg, nyp, lpad, row_shift)
+    runner = fk._make_runner(
+        cfg, NX, nyp, br, False, temporal, spec, False, lpad, segs, row_shift
+    )
+
+    def call(n):  # runner donates: hand it fresh buffers each call
+        return runner(f_p + 0, jnp.zeros_like(f_p), walls_p, n)[0]
+
+    n_pairs = max(n_steps // (2 * temporal), 2)
+    dt = timed_slope(call, n_pairs, 2 * n_pairs, steps_per_n=2 * temporal)
+    report(f"production T={temporal} BR={br} segs={len(segs)} {dtype} {tag}", dt,
+           sites_steps=NX * NY)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--section", default="all",
+                    choices=["all", "xla", "copy", "roll", "align", "ablate",
+                             "sweep", "prod", "split"])
+    args = ap.parse_args()
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+
+    if args.section in ("all", "xla"):
+        xla_ceiling(args.steps)
+    if args.section in ("all", "copy"):
+        for br, slots in ((32, 6), (32, 8), (16, 6), (8, 6), (8, 12)):
+            copy_pipeline(br, slots, args.steps)
+        copy_pipeline(32, 6, args.steps, split_rows=8)
+    if args.section in ("all", "roll"):
+        for shift in (1, NYP - 1, 96, 4000):
+            roll_cost(shift, max(args.steps, 2000))
+    if args.section in ("all", "align"):
+        for off in (0, 1, 2):
+            align_cost(off, max(args.steps, 2000))
+        for shift in (1, 39):
+            sublane_roll_cost(shift, max(args.steps, 2000))
+    if args.section in ("all", "ablate"):
+        for name, ab in [
+            ("full", frozenset()),
+            ("mulsel (arith select)", frozenset({"mulsel"})),
+            ("negroll", frozenset({"negroll"})),
+            ("approx recip", frozenset({"recip"})),
+            ("recip+negroll+mulsel",
+             frozenset({"recip", "negroll", "mulsel"})),
+            ("no-walls (selects off)", frozenset({"walls", "force"})),
+        ]:
+            try:
+                ablation(name, ab, args.steps)
+            except Exception as e:  # Mosaic may reject ablated variants
+                print(f"kernel T=4 BR=32 {name}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+    if args.section in ("all", "sweep"):
+        for temporal, br in ((4, 80), (5, 80), (6, 80), (4, 32), (8, 80), (4, 40)):
+            try:
+                ablation("", frozenset(), args.steps, temporal=temporal, br=br)
+            except Exception as e:
+                print(f"kernel T={temporal} BR={br}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+    if args.section in ("all", "prod"):
+        for t in (4, 5):
+            try:
+                production(args.steps, temporal=t)
+            except Exception as e:
+                print(f"production T={t}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:150]})", flush=True)
+    if args.section in ("all", "split"):
+        B = ((17, 8, True), (0, 17, False))
+        cases = [
+            ("B1 explicit", B, 224),
+            ("auto (wall_partition)", None, 0),
+            ("B2 explicit again", B, 224),
+            ("auto again", None, 0),
+        ]
+        for tag, segs, rs in cases:
+            try:
+                production(args.steps, temporal=4, segs=segs, tag=tag,
+                           row_shift=rs)
+            except Exception as e:
+                print(f"split {tag}: FAILED ({type(e).__name__}: {str(e)[:150]})",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()
