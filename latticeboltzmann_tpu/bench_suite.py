@@ -20,15 +20,15 @@ import time
 CONFIGS = [
     ("400x2000 f64 (serial C workload)", 400, 2000, "f64", "reference", "xla",
      110.31, "i5-2500K AVX 2T (README.md:70)"),
-    ("400x4000 f32 fused kernel", 400, 4000, "f32", "barrier", "pallas",
+    ("400x4000 f32 fused kernel", 400, 4000, "f32", "reference", "pallas",
      7.49, "AMD R9 280X OpenCL SP (README.md:80)"),
     ("800x4000 f32 cylinder wake + rho/u extraction", 800, 4000, "f32", "cylinder", "pallas",
      14.38, "AMD R9 280X OpenCL SP (README.md:90)"),
-    ("800x4000 f32 row-sharded (MPI-equivalent)", 800, 4000, "f32", "barrier", "sharded-pallas",
+    ("800x4000 f32 row-sharded (MPI-equivalent)", 800, 4000, "f32", "reference", "sharded-pallas",
      14.87, "13x2 Opteron 6128 MPI overlap (README.md:88)"),
-    ("4000x16000 f32 large-domain", 4000, 16000, "f32", "barrier", "pallas",
+    ("4000x16000 f32 large-domain", 4000, 16000, "f32", "reference", "pallas",
      None, "no reference datapoint at this size"),
-    ("4000x16000 bf16-storage mixed precision", 4000, 16000, "bf16", "barrier", "pallas",
+    ("4000x16000 bf16-storage mixed precision", 4000, 16000, "bf16", "reference", "pallas",
      None, "no reference datapoint at this size"),
 ]
 

@@ -36,6 +36,7 @@ _WALL_SPEC_BACKENDS = {
     "pallas-interpret",
     "sharded-pallas",
     "sharded-pallas-interpret",
+    "sharded-pallas-rdma",
 }
 
 # backends that accept a fast_math kwarg (hardware approximate 1/rho,
@@ -45,6 +46,7 @@ _FASTMATH_BACKENDS = {
     "pallas-interpret",
     "sharded-pallas",
     "sharded-pallas-interpret",
+    "sharded-pallas-rdma",
 }
 
 # backends that accept slip_x/slip_y kwargs (free-slip specular walls)
@@ -56,6 +58,7 @@ _SLIP_BACKENDS = {
     "sharded-sync",
     "sharded-pallas",
     "sharded-pallas-interpret",
+    "sharded-pallas-rdma",
 }
 
 
@@ -84,6 +87,9 @@ def _register_sharded():
     # ppermute halo exchange
     register_backend("sharded-pallas", sharded.make_pallas_backend())
     register_backend("sharded-pallas-interpret", sharded.make_pallas_backend(interpret=True))
+    # in-kernel remote-DMA halo exchange (Isend/compute/Waitall overlap
+    # as one Pallas kernel); TPU-only
+    register_backend("sharded-pallas-rdma", sharded.make_pallas_backend(rdma=True))
 
 
 _register_sharded()

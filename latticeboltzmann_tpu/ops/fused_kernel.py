@@ -135,6 +135,8 @@ def _make_kernel(
     wall_mode: bool = True,
     row_shift: int = 0,
     fast_math: bool = False,
+    rdma: bool = False,
+    axis: str = "x",
 ):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
@@ -179,6 +181,17 @@ def _make_kernel(
     each staged block's pad lanes when the (1,) int32 refresh-flag input
     is nonzero — the caller raises it every refresh_interval() passes.
 
+    rdma=True (with external_halo) performs the neighbor halo exchange
+    INSIDE the kernel with `pltpu.make_async_remote_copy` + a neighbor
+    barrier semaphore, instead of taking ppermute-delivered halo inputs:
+    at grid start each device barriers with its x-neighbors, then sends
+    its edge rows over ICI directly into the neighbors' comm output
+    buffers; the receive is only awaited right before the one edge block
+    that consumes it, and the block order is rotated so the edge blocks
+    come LAST — the literal TPU form of the reference's
+    MPI_Isend / compute-interior / MPI_Waitall / compute-boundary
+    overlap schedule (README.md:45-51, img/comms-overlap.png).
+
     start/length select a circularly-contiguous run of row blocks: grid
     step i computes block (start+i) mod n_blocks, writing only those
     output rows. With wall_mode=False the kernel is the wall-free fast
@@ -195,9 +208,15 @@ def _make_kernel(
         length = n_blocks
     if external_halo and (start, length) != (0, n_blocks):
         raise ValueError("block segments are not supported on the sharded path")
+    if rdma and not external_halo:
+        raise ValueError("rdma halo exchange only applies to the sharded kernel")
     T = temporal
     if not (1 <= T <= br):
         raise ValueError(f"temporal={T} must be in [1, {br}]")
+    # rdma staged-halo width: edge-row sends are 8-row aligned slabs
+    HR = 8 if rdma else 0
+    if rdma and not (T <= HR <= br):
+        raise ValueError(f"rdma needs temporal<={HR}<=br, got T={T} br={br}")
     rpad = nyp - lpad - ny
     if min(lpad, rpad, ny) < T:
         raise ValueError(
@@ -243,18 +262,101 @@ def _make_kernel(
         # buffers with zero copies — the XLA-buffer-level equivalent of
         # the reference's fA/fB pointer swap (src/latticeboltzmann.c:186-210)
         del donor_hbm
-        if external_halo and wall_spec is not None:
+        htop = hbot = whtop = whbot = wbody = None
+        ct_ref = cb_ref = ssem = rsem = None
+        if rdma and wall_spec is not None:
+            (off_ref, rfl_ref, out_ref, ct_ref, cb_ref,
+             fbody, sems, sbuf, ssem, rsem) = rest
+        elif rdma:
+            (whtop, whbot, rfl_ref, out_ref, ct_ref, cb_ref,
+             fbody, wbody, sems, sbuf, ssem, rsem) = rest
+        elif external_halo and wall_spec is not None:
             htop, hbot, off_ref, rfl_ref, out_ref, fbody, sems = rest
-            wbody = None
         elif external_halo:
             htop, hbot, whtop, whbot, rfl_ref, out_ref, fbody, wbody, sems = rest
         elif stage_walls:
             rfl_ref, out_ref, fbody, wbody, sems = rest
         else:
             rfl_ref, out_ref, fbody, sems = rest
-            wbody = None
         i = pl.program_id(0)
         do_refresh = rfl_ref[0] != 0
+
+        if rdma:
+            my = jax.lax.axis_index(axis)
+            ndev = jax.lax.axis_size(axis)
+            right = jax.lax.rem(my + 1, ndev)
+            left = jax.lax.rem(my - 1 + ndev, ndev)
+
+            # my last HR rows -> right neighbor's comm_top (it pulls
+            # them at its block 0); my first HR rows -> left neighbor's
+            # comm_bot (its block G-1). The reference's boundary-row
+            # Isend/Irecv (README.md:45). Descriptors are rebuilt from
+            # the same refs at the start and wait sites (the local-DMA
+            # copies() pattern).
+            def rdma_down():
+                return pltpu.make_async_remote_copy(
+                    src_ref=sbuf.at[0],
+                    dst_ref=ct_ref,
+                    send_sem=ssem.at[0],
+                    recv_sem=rsem.at[0],
+                    device_id=right,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+
+            def rdma_up():
+                return pltpu.make_async_remote_copy(
+                    src_ref=sbuf.at[1],
+                    dst_ref=cb_ref,
+                    send_sem=ssem.at[1],
+                    recv_sem=rsem.at[1],
+                    device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+
+            @pl.when(i == 0)
+            def _():
+                # stage my edge slabs HBM -> VMEM send buffers
+                lc0 = pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds((n_blocks - 1) * br + br - HR, HR), :],
+                    sbuf.at[0], ssem.at[0],
+                )
+                lc1 = pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(0, HR), :], sbuf.at[1], ssem.at[1]
+                )
+                lc0.start()
+                lc1.start()
+                # pass-start rendezvous with both neighbors: guarantees
+                # their previous pass (which consumed my last sends) is
+                # complete before these sends overwrite their comm
+                # buffers — the Waitall-before-reuse discipline
+                if "nobarrier" not in ablate:  # perf-lab compile probe
+                    bar = pltpu.get_barrier_semaphore()
+                    pltpu.semaphore_signal(
+                        bar, inc=1, device_id=left,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
+                    pltpu.semaphore_signal(
+                        bar, inc=1, device_id=right,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
+                    pltpu.semaphore_wait(bar, 2)
+                lc0.wait()
+                lc1.wait()
+                rdma_down().start()
+                rdma_up().start()
+
+            # the receives are awaited as late as possible: the rotated
+            # block order (body block (i+1) mod G) puts the consuming
+            # edge blocks at the last two grid steps, hiding the ICI
+            # transfer behind interior compute (the reference's overlap
+            # mode, README.md:45-51)
+            @pl.when(i == max(n_blocks - 2, 0))
+            def _():
+                rdma_up().wait()
+
+            @pl.when(i == n_blocks - 1)
+            def _():
+                rdma_down().wait()
 
         def remirror(slot):
             """Re-assert the pad-lane mirror invariant on a freshly
@@ -276,7 +378,15 @@ def _make_kernel(
                     fbody[slot, s] = jnp.where(lane >= lpad + ny, right, v)
 
         def copies(k):
-            if external_halo:
+            if rdma:
+                # rotated order: issue k stages block k mod G; the body
+                # at step i is block (i+1) mod G, so the edge blocks (0
+                # and G-1, which need the remote halos) land on the last
+                # two grid steps. The wrapped neighbor staging is wrong
+                # only for the cross-device halo rows, which the window
+                # assembly overrides with the comm-buffer rows.
+                blk = _rem(k, n_blocks)
+            elif external_halo:
                 # no x wrap: edge issues stage a clamped block whose halo
                 # rows get patched from the neighbor-device inputs below
                 blk = jnp.clip(
@@ -331,7 +441,7 @@ def _make_kernel(
         wait(i + 2)
         remirror(_rem(i + 2, SLOTS))
 
-        if external_halo:
+        if external_halo and not rdma:
             # patch the T neighbor-device rows into the resident edge
             # slots (the pull stencil only ever reads those T rows from
             # the edge slots): top halo into issue-0's slot, bottom halo
@@ -536,11 +646,42 @@ def _make_kernel(
 
         # assemble the extended window: rows [r0-T, r0+br+T) from the
         # three resident blocks (cast up to compute precision if the
-        # storage dtype is bf16)
+        # storage dtype is bf16). On the rdma path the cross-device edge
+        # rows come from the comm buffers the neighbors' remote DMAs
+        # filled (re-mirrored: they are raw stored rows with decayed pad
+        # lanes), selected in for the first/last body block only.
+        if rdma:
+            body_blk = _rem(i + 1, n_blocks)
+            is_first = body_blk == 0
+            is_last = body_blk == jnp.int32(n_blocks - 1)
+            hlane = jax.lax.broadcasted_iota(jnp.int32, (T, nyp), 1)
+
+            def fix_halo(x):
+                xl = pltpu.roll(x, nyp - ny, axis=1)
+                xr = pltpu.roll(x, ny, axis=1)
+                x = jnp.where(hlane < lpad, xl, x)
+                return jnp.where(hlane >= lpad + ny, xr, x)
+
+            def top_piece(s):
+                return jnp.where(
+                    is_first, fix_halo(ct_ref[s, HR - T :]),
+                    fbody[s_top, s, br - T :],
+                )
+
+            def bot_piece(s):
+                return jnp.where(
+                    is_last, fix_halo(cb_ref[s, :T]), fbody[s_bot, s, :T]
+                )
+        else:
+            def top_piece(s):
+                return fbody[s_top, s, br - T :]
+
+            def bot_piece(s):
+                return fbody[s_bot, s, :T]
+
         f = [
             jnp.concatenate(
-                [fbody[s_top, s, br - T :], fbody[s_body, s], fbody[s_bot, s, :T]],
-                axis=0,
+                [top_piece(s), fbody[s_body, s], bot_piece(s)], axis=0
             ).astype(dtype)
             for s in range(NSPEEDS)
         ]
@@ -549,9 +690,13 @@ def _make_kernel(
         if not wall_mode:
             pass  # wall-free fast variant: no mask at all
         elif wall_spec is None:
-            codes = jnp.concatenate(
-                [wbody[s_top, br - T :], wbody[s_body], wbody[s_bot, :T]], axis=0
-            )
+            w_top = wbody[s_top, br - T :]
+            w_bot = wbody[s_bot, :T]
+            if rdma:
+                # static wall halos (exchanged once by the caller)
+                w_top = jnp.where(is_first, whtop[...], w_top)
+                w_bot = jnp.where(is_last, whbot[...], w_bot)
+            codes = jnp.concatenate([w_top, wbody[s_body], w_bot], axis=0)
             wall = codes > zero  # any solid class (forcing skips them all)
             if has_slip:
                 cls = codes
@@ -565,7 +710,7 @@ def _make_kernel(
             # and the mirror invariant survives wall bounce-back).
             R = br + 2 * T
             wrap_n = cfg.nx if external_halo else nx
-            base = _rem(i + jnp.int32(start), n_blocks) * jnp.int32(br)
+            base = _rem(i + jnp.int32(1 if rdma else start), n_blocks) * jnp.int32(br)
             if external_halo:
                 base = base + off_ref[0]
             # row_shift: storage rows are a rotation of physical rows
@@ -656,6 +801,8 @@ def make_step(
     wall_mode: bool = True,
     row_shift: int = 0,
     fast_math: bool = False,
+    rdma: bool = False,
+    axis: str = "x",
 ):
     """Jittable padded-state half-step:
     (f_src, dst_donor, walls_padded_f32, [halos...], refresh) -> f_new,
@@ -682,6 +829,12 @@ def make_step(
     itemsize = np.dtype(cfg.dtype).itemsize
     if has_slip and wall_spec is not None:
         raise ValueError("slip masks are arbitrary; use the DMA mask path")
+    if rdma and interpret:
+        raise ValueError(
+            "the rdma halo kernel has no interpret-mode support (remote "
+            "DMA under shard_map hangs/mis-shapes in jax 0.9 interpret "
+            "modes; see docs/SCALING.md) — use the ppermute path off-TPU"
+        )
     walls_dma = wall_spec is None
     if slots is None:
         slots = (
@@ -691,12 +844,13 @@ def make_step(
         )
     kernel = _make_kernel(
         cfg, nx, nyp, br, dtype, temporal, external_halo, slots, wall_spec, has_slip,
-        ablate, lpad, start, length, wall_mode, row_shift, fast_math,
+        ablate, lpad, start, length, wall_mode, row_shift, fast_math, rdma, axis,
     )
     n_blocks = nx // br
     if length is None:
         length = n_blocks
     stage_walls = walls_dma and wall_mode
+    HR = 8  # rdma edge-slab rows (8-row DMA alignment)
 
     in_specs = [
         # pinned to HBM (not ANY): with ANY the compiler may promote
@@ -708,10 +862,11 @@ def make_step(
     ]
     if external_halo:
         T = temporal
-        in_specs += [
-            pl.BlockSpec((NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ]
+        if not rdma:
+            in_specs += [
+                pl.BlockSpec((NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            ]
         if walls_dma:
             in_specs += [
                 pl.BlockSpec((T, nyp), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -723,7 +878,13 @@ def make_step(
     # pad-remirror flag, (1,) int32 in SMEM (always the last input)
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
-    if start == 0 and length == n_blocks:
+    if rdma:
+        out_index = lambda i: (
+            0,
+            jax.lax.rem(i + jnp.int32(1), jnp.int32(n_blocks)),
+            0,
+        )
+    elif start == 0 and length == n_blocks:
         out_index = lambda i: (0, i, 0)
     elif start + length <= n_blocks:
         out_index = lambda i: (0, i + start, 0)
@@ -734,25 +895,42 @@ def make_step(
             0,
         )
 
+    out_shape = jax.ShapeDtypeStruct((NSPEEDS, nx, nyp), cfg.dtype)
+    out_specs = pl.BlockSpec((NSPEEDS, br, nyp), out_index, memory_space=pltpu.VMEM)
+    if rdma:
+        # comm buffers: the neighbors' remote DMAs land here. Outputs
+        # (not scratch) so the buffers have symmetric addresses across
+        # the SPMD shards; the caller discards them.
+        comm = jax.ShapeDtypeStruct((NSPEEDS, HR, nyp), cfg.dtype)
+        comm_spec = pl.BlockSpec(
+            (NSPEEDS, HR, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = (out_shape, comm, comm)
+        out_specs = (out_specs, comm_spec, comm_spec)
+
     step = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((NSPEEDS, nx, nyp), cfg.dtype),
+        out_shape=out_shape,
         grid=(length,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (NSPEEDS, br, nyp), out_index, memory_space=pltpu.VMEM
-        ),
+        out_specs=out_specs,
         input_output_aliases={1: 0},
         scratch_shapes=(
             [pltpu.VMEM((slots, NSPEEDS, br, nyp), cfg.dtype)]  # rotating body slots
             + ([pltpu.VMEM((slots, br, nyp), jnp.float32)] if stage_walls else [])
             + [pltpu.SemaphoreType.DMA((slots, 2 if stage_walls else 1))]
+            + ([pltpu.VMEM((2, NSPEEDS, HR, nyp), cfg.dtype),
+                pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+               if rdma else [])
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # raise the default 16MB scoped-vmem cap so larger row blocks
             # and deeper temporal windows fit (v5e has 128MB VMEM)
             vmem_limit_bytes=112 * 1024 * 1024,
+            **({"has_side_effects": True} if rdma else {}),
+            **({"collective_id": 13}
+               if rdma and "nobarrier" not in ablate else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(124 * br * length * nyp * temporal),

@@ -213,12 +213,21 @@ def make_pallas_run_steps(
     wall_spec=None,
     has_slip: bool = False,
     fast_math: bool = False,
+    rdma: bool = False,
 ):
     """Production multi-chip path: the fused Pallas kernel runs on each
     device's local row block, with the x halos (T rows of f + walls per
     pass, T = temporal depth) delivered by `jax.lax.ppermute` over ICI —
     the TPU-native form of the reference's MPI boundary-row exchange
     (README.md:44-53). Wall halos are static and exchanged once.
+
+    rdma=True moves the halo exchange INSIDE the kernel
+    (pltpu.make_async_remote_copy + neighbor barrier semaphores): each
+    pass sends the edge rows over ICI at grid start, computes the
+    interior blocks, and only awaits the receive before the two edge
+    blocks — the reference's MPI_Isend / compute-interior / MPI_Waitall
+    overlap (README.md:45-51) as one Pallas kernel. TPU-only (no
+    interpret-mode support in jax 0.9).
 
     With wall_spec (closed-form geometry, see ops/fused_kernel.py), the
     kernel computes the mask from the shard's global row offset instead:
@@ -250,10 +259,10 @@ def make_pallas_run_steps(
     refresh_k = fk.refresh_interval(lpad, rpad, cfg.ny, T)
     step = fk.make_step(cfg, L, nyp, br, interpret, T, external_halo=True,
                         wall_spec=wall_spec, has_slip=has_slip, lpad=lpad,
-                        fast_math=fast_math)
+                        fast_math=fast_math, rdma=rdma, axis=AXIS)
     step1 = fk.make_step(cfg, L, nyp, br, interpret, 1, external_halo=True,
                          wall_spec=wall_spec, has_slip=has_slip, lpad=lpad,
-                         fast_math=fast_math)
+                         fast_math=fast_math, rdma=rdma, axis=AXIS)
 
     fspec = P(None, AXIS, None)
     wspec = P(AXIS, None)
@@ -280,6 +289,12 @@ def make_pallas_run_steps(
                 offset = (jax.lax.axis_index(AXIS) * L).astype(jnp.int32)[None]
 
             def one_pass(src, donor, stepfn, t, rfl):
+                if rdma:
+                    # the kernel exchanges its own halos over ICI
+                    if wall_spec is not None:
+                        return stepfn(src, donor, walls_l, offset, rfl)[0]
+                    wt = whtop[T - t :] if t < T else whtop
+                    return stepfn(src, donor, walls_l, wt, whbot[:t], rfl)[0]
                 htop = _remirror(jax.lax.ppermute(src[:, L - t :, :], AXIS, down))
                 hbot = _remirror(jax.lax.ppermute(src[:, :t, :], AXIS, up))
                 if wall_spec is not None:
@@ -332,7 +347,8 @@ def make_pallas_run_steps(
     return run_steps
 
 
-def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False):
+def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False,
+                        rdma: bool = False):
     """Simulation-backend adapter for the sharded Pallas path. Free-slip
     masks ride the walls DMA as a class-code plane (see
     fused_kernel.class_plane)."""
@@ -351,7 +367,7 @@ def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False):
         if key not in cache:
             cache[key] = make_pallas_run_steps(
                 m, cfg, interpret=interpret, wall_spec=wall_spec,
-                has_slip=has_slip, fast_math=fast_math,
+                has_slip=has_slip, fast_math=fast_math, rdma=rdma,
             )
         f, walls = shard_state(m, f, walls)
         return cache[key](f, walls, n_steps)

@@ -1,0 +1,188 @@
+"""Sharded scaling + communication-fraction measurements.
+
+The reference validates its MPI backend with node-count scaling tables
+(mpi-runtimes.dat) and MPI trace timelines showing the comm fraction
+with and without overlap (img/comms-no-overlap.png, img/comms-overlap.png,
+README.md:44-57). Single-chip era analog, two modes:
+
+  --mode cpu   correctness + relative cost of the sharded paths on a
+               virtual 8-device CPU mesh (re-execs itself with
+               JAX_PLATFORMS=cpu and xla_force_host_platform_device_count)
+  --mode tpu   single-chip timings of the unsharded vs 8-way sharded
+               paths, plus a perfetto trace of the sharded XLA step with
+               the collective-permute (halo exchange) time extracted —
+               the comm-%% number the reference reads off its MPI traces
+
+Writes markdown rows to stdout; paste into docs/SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timed_steps(sim_factory, steps, warmup=24):
+    sim = sim_factory()
+    sim.run(warmup)
+    sim.elapsed = 0.0
+    sim.steps_done = 0
+    sim.run(steps)
+    return sim
+
+
+def mode_cpu(args):
+    import numpy as np
+
+    import jax
+    from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+    from latticeboltzmann_tpu.parallel import sharded
+
+    cfg = LatticeConfig(nx=256, ny=200, dtype=np.float32)
+    walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
+    ref = Simulation(cfg, walls, backend="xla").run(args.steps).state()
+
+    print(f"devices: {jax.devices()}")
+    print()
+    print("| devices | backend | max abs dev vs unsharded | steps/s (CPU, relative only) |")
+    print("|---|---|---|---|")
+    for n_dev in (1, 2, 4, 8):
+        mesh = sharded.make_mesh(n_dev)
+        for backend in ("sharded", "sharded-sync", "sharded-pallas-interpret"):
+            from latticeboltzmann_tpu.models import engine
+
+            if backend == "sharded":
+                run = sharded.make_backend(mesh, overlap=True)
+            elif backend == "sharded-sync":
+                run = sharded.make_backend(mesh, overlap=False)
+            else:
+                run = sharded.make_pallas_backend(mesh, interpret=True)
+            engine.register_backend("_scal", run)
+            t0 = time.perf_counter()
+            sim = Simulation(cfg, walls, backend="_scal").run(args.steps)
+            dt = time.perf_counter() - t0
+            dev = float(abs(sim.state() - ref).max())
+            rate = args.steps / dt
+            print(f"| {n_dev} | {backend} | {dev:.2e} | {rate:.1f} |", flush=True)
+            assert dev < 1e-4, f"{backend}@{n_dev} diverged: {dev}"
+    print("\nall sharded configurations match the unsharded engine")
+
+
+def _perfetto_comm_fraction(trace_dir):
+    """Total collective-permute time / total device compute time from a
+    perfetto trace (the programmatic read of what the reference's MPI
+    timeline screenshots show)."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.json.gz"), recursive=True)
+    if not paths:
+        return None
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    comm = total = 0.0
+    names = {}
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        name = e.get("name", "")
+        dur = float(e.get("dur", 0.0))
+        lname = name.lower()
+        if "fusion" in lname or "permute" in lname or "copy" in lname or \
+           "while" in lname or "pallas" in lname or "custom-call" in lname:
+            total += dur
+            if "permute" in lname:
+                comm += dur
+                names[name] = names.get(name, 0.0) + dur
+    if total == 0:
+        return None
+    return comm, total, names
+
+
+def mode_tpu(args):
+    import numpy as np
+
+    import jax
+    from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+    from latticeboltzmann_tpu.parallel import sharded
+    from latticeboltzmann_tpu.models import engine
+
+    cfg = LatticeConfig(nx=400, ny=2000, dtype=np.float32)
+    walls = geometry.reference_barrier(cfg.nx, cfg.ny)
+    steps = args.steps
+
+    print(f"device: {jax.devices()[0].device_kind}; lattice 400x2000 f32, {steps} steps")
+    print()
+    print("| backend | MLUPS | note |")
+    print("|---|---|---|")
+    rows = [
+        ("pallas", "unsharded fused kernel"),
+        ("sharded-pallas", "8-way shard_map + ppermute halos, one chip"),
+        ("sharded", "XLA engine, overlapped halo exchange"),
+        ("sharded-sync", "XLA engine, exchange-then-compute"),
+    ]
+    for backend, note in rows:
+        try:
+            sim = _timed_steps(
+                lambda b=backend: Simulation(cfg, walls, backend=b), steps
+            )
+            print(f"| {backend} | {sim.mlups:.0f} | {note} |", flush=True)
+        except Exception as e:
+            print(f"| {backend} | FAILED | {type(e).__name__}: {str(e)[:80]} |",
+                  flush=True)
+
+    # comm fraction from a perfetto trace of the sharded XLA path
+    trace_dir = args.trace_dir
+    os.makedirs(trace_dir, exist_ok=True)
+    sim = Simulation(cfg, walls, backend="sharded")
+    sim.run(16)  # compile outside the trace
+    jax.profiler.start_trace(trace_dir, create_perfetto_trace=True)
+    sim.run(64)
+    jax.profiler.stop_trace()
+    res = _perfetto_comm_fraction(trace_dir)
+    if res is None:
+        print("\n(no perfetto trace events found)")
+        return
+    comm, total, names = res
+    print(f"\nhalo-exchange (collective-permute) time: {comm/1e3:.2f} ms "
+          f"of {total/1e3:.2f} ms device time = {100*comm/total:.1f}%")
+    for n, d in sorted(names.items(), key=lambda kv: -kv[1])[:5]:
+        print(f"  {d/1e3:8.2f} ms  {n}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["cpu", "tpu"], required=True)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--trace-dir", default="/tmp/lbm_trace")
+    ap.add_argument("--_reexeced", action="store_true")
+    args = ap.parse_args()
+
+    if args.mode == "cpu" and not args._reexeced:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        # the axon TPU-tunnel plugin registers itself from sitecustomize
+        # even under JAX_PLATFORMS=cpu; registration gates on this var
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        sys.exit(subprocess.call(
+            [sys.executable, os.path.abspath(__file__), "--mode", "cpu",
+             "--steps", str(args.steps), "--_reexeced"],
+            env=env,
+        ))
+    if args.mode == "cpu":
+        mode_cpu(args)
+    else:
+        mode_tpu(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -160,3 +160,17 @@ def test_dryrun_multichip_inline():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_rdma_interpret_guard():
+    """The in-kernel remote-DMA halo path (sharded-pallas-rdma) has no
+    interpret-mode support in jax 0.9 (remote DMA under shard_map
+    mis-shapes / deadlocks — docs/SCALING.md); the kernel factory must
+    refuse clearly instead of hanging the suite."""
+    from latticeboltzmann_tpu.ops import fused_kernel as fk
+
+    cfg = LatticeConfig(nx=128, ny=256, dtype=np.float32)
+    nyp, lpad = fk.pick_layout(cfg.ny, 4)
+    with pytest.raises(ValueError, match="interpret"):
+        fk.make_step(cfg, 128, nyp, 32, True, 4, external_halo=True,
+                     wall_spec=(("channel",),), lpad=lpad, rdma=True)
