@@ -371,11 +371,15 @@ def _make_kernel(
             def _():
                 lane = jax.lax.broadcasted_iota(jnp.int32, (br, nyp), 1)
                 for s in range(NSPEEDS):
-                    v = fbody[slot, s]
+                    # roll in f32: Mosaic has no 16-bit lane rotate, and
+                    # the bf16->f32->bf16 round trip is exact for copies
+                    v = fbody[slot, s].astype(jnp.float32)
                     left = pltpu.roll(v, nyp - ny, axis=1)
                     right = pltpu.roll(v, ny, axis=1)
                     v = jnp.where(lane < lpad, left, v)
-                    fbody[slot, s] = jnp.where(lane >= lpad + ny, right, v)
+                    fbody[slot, s] = jnp.where(
+                        lane >= lpad + ny, right, v
+                    ).astype(storage)
 
         def copies(k):
             if rdma:
@@ -657,10 +661,11 @@ def _make_kernel(
             hlane = jax.lax.broadcasted_iota(jnp.int32, (T, nyp), 1)
 
             def fix_halo(x):
+                x = x.astype(jnp.float32)  # no 16-bit lane rotate in Mosaic
                 xl = pltpu.roll(x, nyp - ny, axis=1)
                 xr = pltpu.roll(x, ny, axis=1)
                 x = jnp.where(hlane < lpad, xl, x)
-                return jnp.where(hlane >= lpad + ny, xr, x)
+                return jnp.where(hlane >= lpad + ny, xr, x).astype(storage)
 
             def top_piece(s):
                 return jnp.where(
@@ -978,20 +983,22 @@ def pad_state(f, walls, cfg: LatticeConfig, nyp: int, lpad: int,
     f_p = jnp.asarray(f)
     walls_p = jnp.asarray(walls).astype(jnp.float32)
     if row_shift:
+        # one fused gather (row rotation x lane mirror): two chained
+        # gathers held a second full-lattice temporary, which OOM'd the
+        # 4000x16000 (2.3 GB/buffer) config
         ridx = (np.arange(f_p.shape[1]) + row_shift) % f_p.shape[1]
-        f_p = f_p[:, ridx]
-        walls_p = walls_p[ridx]
+        return f_p[:, ridx[:, None], idx[None, :]], walls_p[ridx[:, None], idx[None, :]]
     return f_p[:, :, idx], walls_p[:, idx]
 
 
 def unpad_state(f_p, cfg: LatticeConfig, lpad: int, row_shift: int = 0):
     """Invert pad_state: (9, NX, NYP) storage layout -> (9, NX, NY)."""
-    out = f_p[:, :, lpad : lpad + cfg.ny]
     if row_shift:
-        nx = out.shape[1]
+        nx = f_p.shape[1]
         ridx = (np.arange(nx) - row_shift) % nx
-        out = out[:, ridx]
-    return out
+        cols = lpad + np.arange(cfg.ny)
+        return f_p[:, ridx[:, None], cols[None, :]]  # one fused gather
+    return f_p[:, :, lpad : lpad + cfg.ny]
 
 
 # default temporal-blocking depth: T=4 measured fastest on v5e
@@ -1175,9 +1182,21 @@ def run_steps(
     if temporal is None:
         # interpreter mode is a semantics tool — temporal blocking only
         # multiplies its cost
-        temporal = 1 if interpret else min(DEFAULT_TEMPORAL, br)
+        temporal = 1 if interpret else min(
+            2 if np.dtype(cfg.dtype) == np.dtype("bfloat16") else DEFAULT_TEMPORAL,
+            br,
+        )  # bf16 T=2 measured fastest (19.2k vs 18.2k at T=4): halved
+        #  traffic moves the DMA/VPU balance point down
     mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
-    row_shift, segs = wall_partition(np.asarray(mask), br, temporal)
+    if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
+        # huge lattices (>1 GB/buffer): the chained segment launches plus
+        # XLA's inability to donate through the pair loop double the
+        # resident buffer count and OOM the chip — run the single masked
+        # kernel (round-1 memory behavior; the split's win is a few
+        # percent here)
+        row_shift, segs = 0, ((0, None, True),)
+    else:
+        row_shift, segs = wall_partition(np.asarray(mask), br, temporal)
     f_p, walls_p = pad_state(f, mask, cfg, nyp, lpad, row_shift)
     runner = _make_runner(
         cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip, lpad, segs,
@@ -1193,6 +1212,12 @@ def run_steps(
             row_shift, fast_math,
         )
         a = rem_runner(a, b, walls_p)
+    else:
+        # free the dead scratch buffer before the un-rotation gather —
+        # at 4000x16000 each buffer is 2.3 GB and keeping it live OOMs
+        # the chip during unpad_state
+        b = None
+    del f_p
     return unpad_state(a, cfg, lpad, row_shift)
 
 
@@ -1302,9 +1327,21 @@ def run_steps_probed(
             f, walls, cfg, n_steps, probes, slip_x, slip_y
         )
         return fout, series[every - 1 :: every]
-    temporal = 1 if interpret else min(DEFAULT_TEMPORAL, br)
+    temporal = 1 if interpret else min(
+            2 if np.dtype(cfg.dtype) == np.dtype("bfloat16") else DEFAULT_TEMPORAL,
+            br,
+        )  # bf16 T=2 measured fastest (19.2k vs 18.2k at T=4): halved
+        #  traffic moves the DMA/VPU balance point down
     mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
-    row_shift, segs = wall_partition(np.asarray(mask), br, temporal)
+    if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
+        # huge lattices (>1 GB/buffer): the chained segment launches plus
+        # XLA's inability to donate through the pair loop double the
+        # resident buffer count and OOM the chip — run the single masked
+        # kernel (round-1 memory behavior; the split's win is a few
+        # percent here)
+        row_shift, segs = 0, ((0, None, True),)
+    else:
+        row_shift, segs = wall_partition(np.asarray(mask), br, temporal)
     f_p, walls_p = pad_state(f, mask, cfg, nyp, lpad, row_shift)
     # probe sites live at storage row (i - row_shift) mod nx, lane j + lpad
     probes = jnp.stack(

@@ -346,7 +346,7 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--section", default="all",
                     choices=["all", "xla", "copy", "roll", "align", "ablate",
-                             "sweep", "prod", "split"])
+                             "sweep", "prod", "split", "bf16"])
     args = ap.parse_args()
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
 
@@ -393,6 +393,18 @@ def main():
             except Exception as e:
                 print(f"production T={t}: FAILED "
                       f"({type(e).__name__}: {str(e)[:150]})", flush=True)
+    if args.section in ("all", "bf16"):
+        # precision-layer payoff: bf16 storage halves HBM traffic, which
+        # pays exactly in the bandwidth-bound regimes (low temporal
+        # depth; the multi-chip halo-heavy case) — at T=4 the DMA is
+        # already hidden behind the VPU and bf16 buys ~nothing
+        for dt, t in (("float32", 1), ("bfloat16", 1), ("float32", 2),
+                      ("bfloat16", 2), ("bfloat16", 4)):
+            try:
+                production(args.steps, temporal=t, dtype=dt)
+            except Exception as e:
+                print(f"bf16 cmp {dt} T={t}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:120]})", flush=True)
     if args.section in ("all", "split"):
         B = ((17, 8, True), (0, 17, False))
         cases = [
