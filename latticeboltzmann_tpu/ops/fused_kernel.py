@@ -1183,10 +1183,14 @@ def run_steps(
         # interpreter mode is a semantics tool — temporal blocking only
         # multiplies its cost
         temporal = 1 if interpret else min(
-            2 if np.dtype(cfg.dtype) == np.dtype("bfloat16") else DEFAULT_TEMPORAL,
+            2
+            if (np.dtype(cfg.dtype) == np.dtype("bfloat16") or br < 32)
+            else DEFAULT_TEMPORAL,
             br,
-        )  # bf16 T=2 measured fastest (19.2k vs 18.2k at T=4): halved
-        #  traffic moves the DMA/VPU balance point down
+        )  # T=2 measured fastest for bf16 (19.2k vs 18.2k at 800x4000)
+        # and for VMEM-capped BR<32 shapes (4000x16000 f32: 15.7k vs
+        # 14.1k at T=4): shallower windows lose less to row overlap,
+        # and halved/equal traffic keeps the DMA hidden
     mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
     if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
         # huge lattices (>1 GB/buffer): the chained segment launches plus
@@ -1328,10 +1332,14 @@ def run_steps_probed(
         )
         return fout, series[every - 1 :: every]
     temporal = 1 if interpret else min(
-            2 if np.dtype(cfg.dtype) == np.dtype("bfloat16") else DEFAULT_TEMPORAL,
+            2
+            if (np.dtype(cfg.dtype) == np.dtype("bfloat16") or br < 32)
+            else DEFAULT_TEMPORAL,
             br,
-        )  # bf16 T=2 measured fastest (19.2k vs 18.2k at T=4): halved
-        #  traffic moves the DMA/VPU balance point down
+        )  # T=2 measured fastest for bf16 (19.2k vs 18.2k at 800x4000)
+        # and for VMEM-capped BR<32 shapes (4000x16000 f32: 15.7k vs
+        # 14.1k at T=4): shallower windows lose less to row overlap,
+        # and halved/equal traffic keeps the DMA hidden
     mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
     if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
         # huge lattices (>1 GB/buffer): the chained segment launches plus
