@@ -14,12 +14,16 @@ grid over row blocks with manually double-buffered HBM->VMEM DMA so the
 next block's loads overlap the current block's compute (the TPU version
 of its software prefetch, src/latticeboltzmann.c:350-358).
 
-Layout: f is (9, NX, NYP) float32/bfloat16, NYP = NY rounded up to 128
-lanes. The periodic y wrap is done in-VMEM with a lane roll plus an
-edge-column fix at the true NY boundary (padding lanes are treated as
-wall sites and never feed real sites). The x wrap falls out of the
-rotating-slot staging: whole neighbor row-blocks (with wrapped block
-indices) are resident, so stencil halos are just their edge rows.
+Layout: f is (9, NX, NYP) float32/bfloat16 in the mirror-pad lane
+layout (pick_layout): real columns at lanes [lpad, lpad+NY), pad lanes
+holding the periodic continuation, so the y wrap is a pure in-VMEM lane
+roll (pads are re-mirrored in-kernel every refresh_interval() passes).
+The x wrap falls out of the rotating-slot staging: whole neighbor
+row-blocks (with wrapped block indices) are resident, so stencil halos
+are just their edge rows. Rows may additionally be stored rotated
+(wall_partition) so that the solid-containing and solid-free block runs
+are affine segments, each launched as its own kernel variant — the
+wall-free variant skips the bounce-back selects entirely.
 """
 
 from __future__ import annotations
