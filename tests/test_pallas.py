@@ -263,3 +263,48 @@ def test_simulation_auto_infers_wall_spec():
     ref.wall_spec = None
     ref.run(4)
     np.testing.assert_array_equal(sim.state(), ref.state())
+
+
+def test_wall_segments_and_partition():
+    """The launch-specialization partition: circular runs of
+    solid-containing vs solid-free temporal windows, rebased by a row
+    rotation so every run is affine, masked runs first."""
+    from latticeboltzmann_tpu.ops.fused_kernel import wall_partition, wall_segments
+
+    nx, ny, br, T = 800, 64, 32, 4
+    walls = geometry.reference_barrier(nx, ny)
+
+    segs = wall_segments(walls, br, T)
+    covered = []
+    nb = nx // br
+    for s, ln, _ in segs:
+        covered += [(s + k) % nb for k in range(ln)]
+    assert sorted(covered) == list(range(nb))  # exact cover, no overlap
+
+    rs, rot = wall_partition(walls, br, T)
+    assert rs % br == 0
+    assert rot[0][2] is True  # masked runs first
+    for s, ln, _ in rot:
+        assert s + ln <= nb  # every rebased run is affine (no wrap)
+    # block b in rotated storage holds physical rows starting rs + b*br;
+    # masked runs must cover exactly the windows containing solid rows
+    phys_masked = {b for s, ln, w in rot if w for b in range(s, s + ln)}
+    row = walls.any(axis=1)
+    import numpy as np  # noqa: F811
+    ext = np.r_[row[nx - T:], row, row[:T]]
+    for b in range(nb):
+        p0 = (rs + b * br) % nx
+        has = ext[p0: p0 + br + 2 * T].any() if p0 + br + 2 * T <= nx + T else \
+            np.r_[ext[p0:], ext[T: T + (p0 + br + 2 * T) - (nx + T)]].any()
+        assert (b in phys_masked) == bool(has), b
+
+    # uniform masks collapse to a single segment
+    assert wall_partition(geometry.empty(nx, ny), br, T) == (0, ((0, nb, False),))
+
+
+def test_refresh_interval_bounds():
+    from latticeboltzmann_tpu.ops.fused_kernel import refresh_interval
+
+    assert refresh_interval(48, 48, 4000, 4) == 11
+    assert refresh_interval(4, 4, 4000, 4) == 1     # never below 1
+    assert refresh_interval(54, 54, 40, 1) == 39    # capped by ny
