@@ -3,6 +3,25 @@ the reference's north-star row (README.md:90, R9 280X SP: 14.38 s =
 2225.3 MLUPS). Prints ONE JSON line with MLUPS and the ratio vs that
 baseline.
 
+Two independent measurements defend the number against the tunnel's
+failure modes (round-2 postmortem: the driver recorded 681 MLUPS for a
+run that reproduces at 16,544 — same code, same chip, same Reynolds —
+because a degraded tunnel session added ~24x of dispatch overhead that
+best-of-2 end-to-end timing could not see):
+
+- slope rate: per-step time from the slope between two step counts,
+  which cancels any fixed per-call overhead exactly
+  (scripts/anatomy.py:timed_slope; the reference's own numbers are
+  overhead-free in the same sense — a single long in-process run,
+  README.md:83-90).
+- end-to-end rate: >=3 timed full runs, every value reported.
+
+If the best end-to-end rate is < half the slope rate, the environment
+(not the kernel) is eating the difference: the run retries, and if the
+disagreement persists, the JSON carries `degraded_environment: true`
+and reports the slope rate as `value` (the device's actual sustained
+kernel rate), with every raw timing preserved alongside.
+
 Usage: python bench.py [--backend auto|xla|pallas] [--steps N]
 """
 
@@ -24,7 +43,8 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--nx", type=int, default=800)
     ap.add_argument("--ny", type=int, default=4000)
-    ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--warmup", type=int, default=96)
+    ap.add_argument("--e2e-runs", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -44,19 +64,48 @@ def main() -> int:
     sim = Simulation(cfg, walls, backend=backend)
     sim.run(args.warmup)  # compile + warm caches; excluded from timing
 
-    # best of two timed runs: the tunneled chip's per-run dispatch
-    # overhead varies by hundreds of ms between otherwise identical
-    # runs; the faster one is the honest device rate (standard
-    # best-of-N practice, recorded as runs=2)
-    elapsed = []
-    for _ in range(2):
+    def timed(n: int) -> float:
+        """Wall seconds for one n-step run (the runner takes a dynamic
+        step count, so no recompilation happens here)."""
         sim.elapsed = 0.0
         sim.steps_done = 0
-        sim.run(args.steps)
-        elapsed.append(sim.elapsed)
-    sim.elapsed = min(elapsed)
-    sim.steps_done = args.steps
-    mlups = sim.mlups
+        sim.run(n)
+        return sim.elapsed
+
+    # --- slope rate: cancels fixed per-call cost (tunnel RPC/dispatch)
+    # step counts are multiples of 2*T(max)=8 so both runs take the
+    # pre-compiled zero-remainder path
+    n1, n2 = 1600, 4800
+    t1 = min(timed(n1) for _ in range(2))
+    t2 = min(timed(n2) for _ in range(2))
+    per_step = (t2 - t1) / (n2 - n1)
+    slope_mlups = cfg.sites / per_step / 1e6 if per_step > 0 else 0.0
+
+    # --- end-to-end rate: >=3 full runs, all values recorded
+    def e2e_pass() -> list[float]:
+        return [timed(args.steps) for _ in range(args.e2e_runs)]
+
+    e2e_times = e2e_pass()
+    best = min(e2e_times)
+    e2e_mlups = cfg.sites * args.steps / best / 1e6
+
+    # --- pathology check: a healthy run's end-to-end rate sits within
+    # ~2x of the slope rate (fixed overhead is ~25 ms vs ~2 s of work).
+    # A >2x gap means the *environment* degraded mid-run; retry once,
+    # then flag instead of recording a broken number as the device rate.
+    degraded = False
+    if slope_mlups > 0 and e2e_mlups < 0.5 * slope_mlups:
+        e2e_times += e2e_pass()
+        best = min(e2e_times)
+        e2e_mlups = cfg.sites * args.steps / best / 1e6
+        degraded = e2e_mlups < 0.5 * slope_mlups
+
+    if slope_mlups <= 0:  # nonsensical slope (clock went backwards):
+        mlups = e2e_mlups  # trust only the end-to-end measurement
+    elif degraded:
+        mlups = slope_mlups
+    else:
+        mlups = e2e_mlups
 
     # correctness guard: the run must be numerically sane (the reference
     # hard-faults on NaN via feenableexcept, src/latticeboltzmann.c:129)
@@ -69,9 +118,13 @@ def main() -> int:
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / BASELINE_MLUPS, 3),
-        "runtime_s": round(sim.elapsed, 3),
+        "runtime_s": round(best, 3),
         "steps": args.steps,
-        "runs": 2,
+        "e2e_runs_s": [round(t, 3) for t in e2e_times],
+        "e2e_mlups": round(e2e_mlups, 1),
+        "slope_mlups": round(slope_mlups, 1),
+        "slope_us_per_step": round(per_step * 1e6, 2),
+        "degraded_environment": degraded,
         "reynolds": float(re),
         "finite_and_positive": ok,
         "device": str(jax.devices()[0]),
