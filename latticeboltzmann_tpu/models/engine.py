@@ -136,6 +136,18 @@ class Simulation:
             raise ValueError(f"walls shape {walls.shape} != lattice {(cfg.nx, cfg.ny)}")
         if backend not in _BACKENDS:
             raise ValueError(f"unknown backend {backend!r}; have {available_backends()}")
+        if backend == "sharded-pallas-rdma":
+            import warnings
+
+            warnings.warn(
+                "sharded-pallas-rdma is EXPERIMENTAL: the in-kernel remote-DMA "
+                "halo exchange has never executed in this environment (the "
+                "tunnel's AOT compiler rejects collective Pallas kernels and "
+                "jax 0.9 interpret modes cannot run remote DMA under "
+                "shard_map; docs/SCALING.md). Until test_rdma_ring_on_tpu "
+                "passes on real hardware, prefer 'sharded-pallas'.",
+                stacklevel=2,
+            )
         has_slip = slip_x is not None or slip_y is not None
         if has_slip and backend not in _SLIP_BACKENDS:
             raise NotImplementedError(
@@ -226,6 +238,26 @@ class Simulation:
                 slip_x=self.slip_x,
                 slip_y=self.slip_y,
                 fast_math=self.fast_math,
+            )
+            if block:
+                float(jnp.sum(series[-1]))
+            self.elapsed += time.perf_counter() - t0
+            self.steps_done += n_steps
+        elif hasattr(self._run_steps, "run_probed"):
+            # sharded-pallas backends: probe gather fused into the
+            # shard_map loop — one jit, one host sync (parity-tested
+            # against the xla series in tests/test_probes.py)
+            t0 = time.perf_counter()
+            kwargs = {}
+            if self.wall_spec is not None:
+                kwargs["wall_spec"] = self.wall_spec
+            if self.slip_x is not None or self.slip_y is not None:
+                kwargs["slip_x"] = self.slip_x
+                kwargs["slip_y"] = self.slip_y
+            if self.fast_math and self.backend in _FASTMATH_BACKENDS:
+                kwargs["fast_math"] = True
+            self.f, series = self._run_steps.run_probed(
+                self.f, self.walls, self.cfg, n_steps, probes, every, **kwargs
             )
             if block:
                 float(jnp.sum(series[-1]))

@@ -141,6 +141,7 @@ def _make_kernel(
     fast_math: bool = False,
     rdma: bool = False,
     axis: str = "x",
+    region=None,
 ):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
@@ -205,13 +206,33 @@ def _make_kernel(
     answer to the reference's per-vector-block "any wall?" fast path
     (src/latticeboltzmann.c:437-478), hoisted to launch granularity
     because in-kernel vector branches predicate (execute) both sides.
+
+    region ((row_bands, lane_bands) or None) turns the masked variant
+    into free-evolution + masked sub-window recomputation of the wall
+    neighborhoods (see advance_region): row_bands are tight wall-row
+    extents in window coords (the window spans lattice rows
+    [b*br - T, b*br + br + T)), lane_bands tight 128-aligned wall-lane
+    extents, both produced by wall_partition_regions and guaranteed to
+    cover every solid site of every window in this launch. region=None
+    keeps classic full-window selects.
     """
     ny = cfg.ny
     n_blocks = nx // br
     if length is None:
         length = n_blocks
-    if external_halo and (start, length) != (0, n_blocks):
-        raise ValueError("block segments are not supported on the sharded path")
+    if external_halo and start + length > n_blocks:
+        # without x periodicity a circularly wrapping segment is
+        # meaningless; the sharded path only uses affine segments
+        raise ValueError("sharded segments must be affine (no wrap)")
+    if rdma and (start, length) != (0, n_blocks):
+        raise ValueError("the rdma kernel runs the full block grid")
+    # which neighbor-device halos this segment consumes: the interior
+    # segment (start >= 1, end <= n_blocks-1) consumes none — its
+    # launch has no data dependency on the ppermute, which is what
+    # lets XLA overlap the collective with interior compute (the
+    # reference's Isend/compute-interior/Waitall split, README.md:45-51)
+    need_top = external_halo and start == 0
+    need_bot = external_halo and start + length == n_blocks
     if rdma and not external_halo:
         raise ValueError("rdma halo exchange only applies to the sharded kernel")
     T = temporal
@@ -226,6 +247,10 @@ def _make_kernel(
         raise ValueError(
             f"mirror pads (lpad={lpad}, rpad={rpad}, ny={ny}) must be >= temporal={T}"
         )
+    if region is not None and not wall_mode:
+        raise ValueError("region only applies to the masked variant")
+    if region is not None and external_halo:
+        raise ValueError("region segments are a local-path optimization")
     storage = dtype
     if np.dtype(storage) == np.dtype("bfloat16"):
         dtype = np.float32  # compute precision
@@ -274,10 +299,16 @@ def _make_kernel(
         elif rdma:
             (whtop, whbot, rfl_ref, out_ref, ct_ref, cb_ref,
              fbody, wbody, sems, sbuf, ssem, rsem) = rest
-        elif external_halo and wall_spec is not None:
-            htop, hbot, off_ref, rfl_ref, out_ref, fbody, sems = rest
         elif external_halo:
-            htop, hbot, whtop, whbot, rfl_ref, out_ref, fbody, wbody, sems = rest
+            rest = list(rest)
+            htop = rest.pop(0) if need_top else None
+            hbot = rest.pop(0) if need_bot else None
+            if wall_spec is not None:
+                off_ref, rfl_ref, out_ref, fbody, sems = rest
+            else:
+                whtop = rest.pop(0) if need_top else None
+                whbot = rest.pop(0) if need_bot else None
+                rfl_ref, out_ref, fbody, wbody, sems = rest
         elif stage_walls:
             rfl_ref, out_ref, fbody, wbody, sems = rest
         else:
@@ -370,6 +401,8 @@ def _make_kernel(
             side (the nyp-periodic roll feeds the outermost lanes from
             the wrong edge), so this only needs to run every
             refresh_interval() passes — the caller's flag gates it."""
+            if "remirror" in ablate:  # perf-lab/compile probe
+                return
 
             @pl.when(do_refresh)
             def _():
@@ -397,8 +430,12 @@ def _make_kernel(
             elif external_halo:
                 # no x wrap: edge issues stage a clamped block whose halo
                 # rows get patched from the neighbor-device inputs below
+                # (interior segments never actually clamp: their neighbor
+                # blocks all exist locally)
                 blk = jnp.clip(
-                    jnp.asarray(k, jnp.int32) - 1, 0, jnp.int32(n_blocks - 1)
+                    jnp.asarray(k, jnp.int32) - 1 + jnp.int32(start),
+                    0,
+                    jnp.int32(n_blocks - 1),
                 )
             else:
                 blk = _rem(k + (start + n_blocks - 1), n_blocks)
@@ -453,21 +490,25 @@ def _make_kernel(
             # patch the T neighbor-device rows into the resident edge
             # slots (the pull stencil only ever reads those T rows from
             # the edge slots): top halo into issue-0's slot, bottom halo
-            # into issue-(G+1)'s slot
-            @pl.when(i == 0)
-            def _():
-                for s in range(NSPEEDS):
-                    fbody[0, s, br - T :, :] = htop[s]
-                if wbody is not None:
-                    wbody[0, br - T :, :] = whtop[...]
+            # into issue-(length+1)'s slot
+            if need_top:
 
-            @pl.when(i == n_blocks - 1)
-            def _():
-                slot_last = (n_blocks + 1) % SLOTS
-                for s in range(NSPEEDS):
-                    fbody[slot_last, s, :T, :] = hbot[s]
-                if wbody is not None:
-                    wbody[slot_last, :T, :] = whbot[...]
+                @pl.when(i == 0)
+                def _():
+                    for s in range(NSPEEDS):
+                        fbody[0, s, br - T :, :] = htop[s]
+                    if wbody is not None:
+                        wbody[0, br - T :, :] = whtop[...]
+
+            if need_bot:
+
+                @pl.when(i == length - 1)
+                def _():
+                    slot_last = (length + 1) % SLOTS
+                    for s in range(NSPEEDS):
+                        fbody[slot_last, s, :T, :] = hbot[s]
+                    if wbody is not None:
+                        wbody[slot_last, :T, :] = whbot[...]
 
         s_top = _rem(i, SLOTS)      # holds block i-1: its last row is our top halo
         s_body = _rem(i + 1, SLOTS)  # block i
@@ -541,8 +582,16 @@ def _make_kernel(
                 col = f[s][1 - ex : R - 1 - ex]  # (R-2, nyp)
                 # pure lane roll: the periodic wrap is carried by the
                 # mirror pad lanes (pick_layout), not a per-step edge fix
-                shift = ey if ("negroll" in ablate and ey < 0) else ey % nyp
-                pulled.append(pltpu.roll(col, shift, axis=1) if ey else col)
+                if not ey:
+                    pulled.append(col)
+                else:
+                    # modulo the WINDOW's width, not nyp: lane-band
+                    # recomputes (advance_region) evolve sub-windows
+                    # narrower than nyp, and an ey=-1 roll by nyp-1
+                    # lanes lands at (nyp-1) mod W — wrong by far
+                    W_ = f[s].shape[1]
+                    shift = ey if ("negroll" in ablate and ey < 0) else ey % W_
+                    pulled.append(pltpu.roll(col, shift, axis=1))
             if "collide" in ablate:
                 return pulled
 
@@ -756,26 +805,107 @@ def _make_kernel(
             if wall is None:  # empty spec: fully periodic fluid box
                 wall = jnp.zeros((R, nyp), jnp.bool_)
 
-        def advance(masked: bool):
-            """T steps in VMEM, trimming one invalid row per side per
-            step (forcing precedes every step: src/latticeboltzmann.c:
-            192,201). masked=False is the solid-free fast variant: the
-            9 bounce-back selects per step were ~24% of the kernel's VPU
-            time (scripts/anatomy.py), and most windows have no solid
-            site now that pad lanes hold fluid mirrors."""
-            ff = f
-            ww = wall if masked else None
-            cc = cls if masked else None
+        def evolve(ff, ww, cc, do_force: bool = True):
+            """T fused steps on a (sub-)window: trims one invalid row
+            per side per step (forcing precedes every step:
+            src/latticeboltzmann.c:192,201). ww=None is the solid-free
+            fast variant: the 9 bounce-back selects per step were ~24%
+            of the kernel's VPU time (scripts/anatomy.py). do_force=False
+            is for lane-sliced sub-windows, whose coordinates `forced`
+            does not speak — the partitioner keeps forcing lanes out of
+            them, so skipping is exact there."""
             for _ in range(T):
-                if "force" not in ablate:
+                if do_force and "force" not in ablate:
                     ff = forced(ff, ww)
                 ff = stream_collide_window(ff, ww, cc)
                 if ww is not None:
                     ww = ww[1:-1]
                 if cc is not None:
                     cc = cc[1:-1]
+            return ff
+
+        def advance(masked: bool):
+            if masked and region is not None:
+                return advance_region()
+            ww = wall if masked else None
+            cc = cls if masked else None
+            ff = evolve(list(f), ww, cc)
             for s in range(NSPEEDS):
                 out_ref[s, :, :] = ff[s].astype(storage)
+
+        def advance_region():
+            """Free evolution plus masked recomputation of the wall
+            neighborhoods — the region form of the masked variant.
+
+            The full window first evolves with the select-free fast
+            kernel; wall effects contaminate at most one site per step,
+            so after T steps only rows/lanes within T of a solid site
+            are wrong. Those neighborhoods are then re-evolved from the
+            ORIGINAL window on narrow sub-windows (row bands x all
+            lanes, all rows x 128-aligned lane bands) with the full
+            masked kernel, and their interiors overwrite the free
+            result via static out_ref stores. Exact: outside the
+            contamination radius the free and masked computations are
+            bitwise identical (where(False, a, b) == b), and each
+            recompute consumes pristine inputs with a >=T-site margin.
+
+            This is the TPU form of the reference's per-VECWIDTH
+            "any wall?" dispatch (src/latticeboltzmann.c:437-478) at
+            sub-block granularity: the round-2 anatomy showed full-width
+            selects cost 52 us/step (28%) for 0.28% wall sites. A
+            select-patchwork (concat of selected/passthrough pieces) is
+            NOT used because rolled-layout values feeding vector concats
+            hard-crash Mosaic's layout pass (bisected on-tunnel);
+            sub-window recomputation uses only op shapes the round-2
+            kernel already compiles."""
+            row_bands, lane_bands = region
+            # Patch recomputes run FIRST (they read the pristine window
+            # f): computing them before the free evolution lets f's
+            # planes die progressively inside it instead of staying live
+            # end-to-end — the full-liveness variant measured ~+8
+            # us/step of VMEM pressure. Patch stores still come LAST so
+            # they overwrite the full-block free store.
+            patches = []  # (store_fn applied after the free store)
+            # row-band recomputes: walls spanning many lanes but few
+            # rows (e.g. channel walls). Bands are tight wall extents in
+            # window coords; expand by T for contamination, clamp to the
+            # output range, 8-align the store offsets, pad the input
+            # window by T more.
+            for r0, r1 in row_bands or ():
+                o_lo = max(r0 - T, T)
+                o_hi = min(r1 + T, br + T)
+                o_lo = T + (o_lo - T) // 8 * 8          # align store row
+                o_hi = min(T - (-(o_hi - T) // 8) * 8, br + T)
+                if o_lo >= o_hi:
+                    continue
+                a, b = o_lo - T, o_hi + T
+                gg = [pp[a:b] for pp in f]
+                gg = evolve(gg, wall[a:b], None if cls is None else cls[a:b])
+                patches.append((gg, (slice(o_lo - T, o_hi - T), slice(None)), None))
+            # lane-band recomputes: walls spanning many rows but few
+            # lanes (e.g. a thin barrier). The sub-window's lane rolls
+            # wrap at its own edges, feeding junk inward one lane per
+            # step — the T-lane input margin keeps it out of the stored
+            # band. The partitioner guarantees bands are 128-aligned,
+            # >=2T from the lattice's lane edges, and free of forcing
+            # lanes (forced would need a lane-offset variant).
+            for l0, l1 in lane_bands or ():
+                a, b = l0 - T, l1 + T
+                gg = [pp[:, a:b] for pp in f]
+                gg = evolve(
+                    gg, wall[:, a:b], None if cls is None else cls[:, a:b],
+                    do_force=False,
+                )
+                patches.append(
+                    (gg, (slice(None), slice(l0, l1)), slice(T, T + l1 - l0))
+                )
+            ff = evolve(list(f), None, None)
+            for s in range(NSPEEDS):
+                out_ref[s, :, :] = ff[s].astype(storage)
+            for gg, dst, lane_src in patches:
+                for s in range(NSPEEDS):
+                    val = gg[s] if lane_src is None else gg[s][:, lane_src]
+                    out_ref[(s, *dst)] = val.astype(storage)
 
         # wall_mode=False is the wall-free fast variant: no mask, no
         # bounce-back selects — where(False, a, b) == b exactly, so it is
@@ -804,7 +934,7 @@ def make_step(
     wall_spec=None,
     has_slip: bool = False,
     ablate: frozenset = frozenset(),
-    lpad: int = 0,
+    lpad: int | None = None,
     start: int = 0,
     length: int | None = None,
     wall_mode: bool = True,
@@ -812,6 +942,7 @@ def make_step(
     fast_math: bool = False,
     rdma: bool = False,
     axis: str = "x",
+    region=None,
 ):
     """Jittable padded-state half-step:
     (f_src, dst_donor, walls_padded_f32, [halos...], refresh) -> f_new,
@@ -836,6 +967,11 @@ def make_step(
     """
     dtype = np.dtype(cfg.dtype).type
     itemsize = np.dtype(cfg.dtype).itemsize
+    if lpad is None:
+        # centered mirror-pad layout, consistent with pick_layout(ny, T)
+        # when nyp came from it (the old lpad=0 default failed the
+        # pad-depth validation for every temporal >= 1)
+        lpad = (nyp - cfg.ny) // 2
     if has_slip and wall_spec is not None:
         raise ValueError("slip masks are arbitrary; use the DMA mask path")
     if rdma and interpret:
@@ -854,6 +990,7 @@ def make_step(
     kernel = _make_kernel(
         cfg, nx, nyp, br, dtype, temporal, external_halo, slots, wall_spec, has_slip,
         ablate, lpad, start, length, wall_mode, row_shift, fast_math, rdma, axis,
+        region,
     )
     n_blocks = nx // br
     if length is None:
@@ -869,18 +1006,20 @@ def make_step(
         pl.BlockSpec(memory_space=pltpu.HBM),  # donor (buffer reuse only)
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
+    need_top = external_halo and start == 0
+    need_bot = external_halo and start + length == n_blocks
     if external_halo:
         T = temporal
+        halo_spec = pl.BlockSpec(
+            (NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        whalo_spec = pl.BlockSpec((T, nyp), lambda i: (0, 0), memory_space=pltpu.VMEM)
         if not rdma:
-            in_specs += [
-                pl.BlockSpec((NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((NSPEEDS, T, nyp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            ]
+            in_specs += [halo_spec] * (need_top + need_bot)
         if walls_dma:
-            in_specs += [
-                pl.BlockSpec((T, nyp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, nyp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ]
+            in_specs += [whalo_spec] * (
+                (need_top + need_bot) if not rdma else 2
+            )
         else:
             # shard's global row offset, (1,) int32 in SMEM
             in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -1005,10 +1144,64 @@ def unpad_state(f_p, cfg: LatticeConfig, lpad: int, row_shift: int = 0):
     return f_p[:, :, lpad : lpad + cfg.ny]
 
 
-# default temporal-blocking depth: T=4 measured fastest on v5e
-# (BR=32/T=4: 16,014 MLUPS on 800x4000 f32; deeper windows lose to
-# window-overlap compute)
-DEFAULT_TEMPORAL = 4
+# default temporal-blocking depth for f32 at full-size blocks. T=3
+# measured fastest on v5e with the round-3 region kernel (800x4000 f32
+# slope-timed: T=3 160.3 us/step = 19,968 MLUPS vs T=4 167.8 / T=5
+# 184.2): the DMA per step grows to ~123 us (from 92 at T=4) but stays
+# under the VPU time, while the temporal window's overlap arithmetic
+# drops from 25% to 18.75% of rows. bf16 and VMEM-capped shapes default
+# to T=2 (see _plan).
+DEFAULT_TEMPORAL = 3
+
+
+def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma):
+    """Shared launch planning for run_steps / run_steps_probed:
+    (nyp, lpad, br, temporal, row_shift, segs), or None to fall back to
+    the XLA engine (odd shapes, float64, degenerate widths)."""
+    t0 = DEFAULT_TEMPORAL if temporal is None else temporal
+    nyp, lpad = pick_layout(cfg.ny, max(t0, 1))
+    br = pick_block_config(
+        nx, nyp, np.dtype(cfg.dtype).itemsize, walls_dma=walls_dma
+    )[0]
+    if br == 0 or np.dtype(cfg.dtype) == np.float64 or cfg.ny < max(t0, 1):
+        return None
+    if temporal is None:
+        # interpreter mode is a semantics tool — temporal blocking only
+        # multiplies its cost. T=2 measured fastest for bf16 (19.2k vs
+        # 18.2k at 800x4000: halved traffic moves the DMA/VPU balance)
+        # and for VMEM-capped BR<32 shapes (4000x16000 f32: 15.7k vs
+        # 14.1k at T=4: shallower windows lose less to row overlap).
+        temporal = 1 if interpret else min(
+            2
+            if (np.dtype(cfg.dtype) == np.dtype("bfloat16") or br < 32)
+            else DEFAULT_TEMPORAL,
+            br,
+        )
+    if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
+        # huge lattices (>1 GB/buffer): the chained segment launches plus
+        # XLA's inability to donate through the pair loop double the
+        # resident buffer count and OOM the chip — run the single masked
+        # kernel (round-1 memory behavior; the split's win is a few
+        # percent here)
+        row_shift, segs = 0, ((0, None, True, None),)
+    else:
+        row_shift, segs = wall_partition_regions(
+            np.asarray(mask), br, temporal, cfg.ny, nyp, lpad
+        )
+    return nyp, lpad, br, temporal, row_shift, segs
+
+
+def _segs_at(cfg: LatticeConfig, nx: int, mask, br: int, temporal: int,
+             nyp: int, lpad: int, row_shift: int):
+    """Re-partition at a different temporal depth than the main plan's
+    (the remainder and probed runners step at T=1) keeping the rotation
+    the state was padded with — select regions anchor to the window
+    height br + 2*T, so a T=4 region is misaligned in a T=1 kernel."""
+    if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
+        return ((0, None, True, None),)
+    return wall_partition_regions(
+        np.asarray(mask), br, temporal, cfg.ny, nyp, lpad, rebase=row_shift
+    )[1]
 
 
 def _flag(x):
@@ -1071,18 +1264,179 @@ def wall_partition(walls, br: int, temporal: int):
     return s0 * br, rebased
 
 
+# fixed cost per recompute instance in the region cost model, in
+# row x lane-block units (~0.5 us of per-sub-window sequencing measured
+# on v5e; see wall_partition_regions). Tests zero it to force the
+# region kernel on CPU-sized lattices where it would not otherwise pay.
+REGION_FIXED_COST = 300.0
+
+
+def _bands(values, gap: int, bound: int):
+    """Sorted ints -> merged half-open (lo, hi) bands, closing gaps <=
+    gap (a 2-row gap between select patches costs more in concat edges
+    than it saves in select width)."""
+    bands: list[list[int]] = []
+    for v in sorted(values):
+        if bands and v - bands[-1][1] <= gap:
+            bands[-1][1] = v + 1
+        else:
+            bands.append([v, v + 1])
+    return tuple((lo, min(hi, bound)) for lo, hi in bands)
+
+
+def wall_partition_regions(
+    mask, br: int, temporal: int, ny: int, nyp: int, lpad: int,
+    launch_cost: float = 2400.0, rebase: int | None = None,
+):
+    """(row_shift, runs) with runs of (start, length, wall_mode, region):
+    wall_partition refined with a static recompute region per masked run.
+
+    The region decomposes the run's solid sites (in the padded
+    storage-lane space — pad lanes mirror real columns, so walls near
+    the lattice's column edges also cover their pad mirrors) into
+    row-type bands (walls spanning many lanes, e.g. channel walls) and
+    128-aligned lane-type bands (walls spanning few lanes, e.g. a thin
+    barrier). The kernel then evolves such blocks select-free and
+    re-evolves only the band neighborhoods masked (see advance_region).
+    Masked runs are split by a small interval DP balancing recompute
+    area (rows x lane-blocks per block) against the ~4 us fixed cost of
+    an extra kernel launch (launch_cost is in row x lane-block units; a
+    fully-masked 40x32-laneblock block = 1280 units ~= 2.1 us measured,
+    so one launch ~= 2400 units).
+
+    This is what makes the reference scene cheap: its barrier spans 5
+    columns (1 lane block of 32) over 200 rows, and its channel walls
+    span 2 rows over all lanes — neither should pay full-window selects
+    (src/latticeboltzmann.c:437-478 is the reference's analog: a
+    per-VECWIDTH any-wall dispatch)."""
+    # rebase pins the storage-row rotation to a caller-chosen value (a
+    # multiple of br): the remainder/probed runners re-partition at a
+    # different temporal depth than the main runner (regions anchor to
+    # the window height, which depends on T) but must keep the rotation
+    # the state was padded with. Under a pinned rotation one run may
+    # wrap circularly — make_step's wrapping index map handles it (a
+    # few-step diagnostics path, not the hot loop).
+    m = np.asarray(mask, np.float64) > 0
+    nx = m.shape[0]
+    T = temporal
+    nb = nx // br
+    R = br + 2 * T
+    nlb = nyp // LANE
+    m_p = m[:, (np.arange(nyp) - lpad) % ny]
+    # lanes the recompute sub-windows must avoid: forcing is applied by
+    # a full-width-coordinate patch the lane sub-windows cannot express
+    force_lanes = {j for j in range(nyp) if (j - lpad) % ny == 0}
+    sub_b: list = []  # per-block (R, nyp) wall submask, None when free
+    for b in range(nb):
+        rr = np.arange(b * br - T, b * br + br + T) % nx
+        sub = m_p[rr]
+        sub_b.append(sub if sub.any() else None)
+    flags = np.array([s is not None for s in sub_b])
+
+    def region_of(blocks):
+        """Decompose the run's wall cells into row-type rows (span many
+        lanes -> recompute the row band at full width) and lane-type
+        lanes (the rest -> recompute the 128-aligned lane band at full
+        height). None = infeasible or not worth it -> full-mask kernel."""
+        u = np.zeros((R, nyp), bool)
+        for b in blocks:
+            u |= sub_b[b]
+        spans = np.zeros(R, int)
+        for r in np.nonzero(u.any(axis=1))[0]:
+            lanes_r = np.nonzero(u[r])[0]
+            spans[r] = lanes_r[-1] - lanes_r[0] + 1
+        row_type = spans > nyp // 4
+        lane_cells = u & ~row_type[:, None]
+        row_bands = _bands(np.nonzero(row_type)[0].tolist(), 2 * T + 8, R)
+        lane_blocks = np.unique(np.nonzero(lane_cells.any(axis=0))[0] // LANE)
+        lane_bands = tuple(
+            (lo * LANE, min(hi * LANE, nyp)) for lo, hi in _bands(lane_blocks.tolist(), 1, nlb)
+        )
+        for l0, l1 in lane_bands:
+            if l0 - T < 0 or l1 + T > nyp:
+                return None  # band touches the lane edge: no input margin
+            if any(l0 - T <= j < l1 + T for j in force_lanes):
+                return None  # forcing inside the sub-window (see evolve)
+        if _region_area(row_bands, lane_bands) >= R * nlb:
+            return None  # full-mask selects beat the recompute structure
+        return (row_bands, lane_bands)
+
+    def _region_area(row_bands, lane_bands):
+        """Per-block recompute cost in row x lane-block units, including
+        a measured fixed cost per recompute instance (~0.5 us of
+        sequencing per sub-window evolution = ~300 units): without it
+        the DP chose regions for runs like the reference's channel run,
+        whose 2-block row-band recomputes cost more than the 2 full-mask
+        selects they replace (measured 170.0 vs 169.6 us/step)."""
+        rows_cost = sum(
+            (min(hi + T, br + T) - max(lo - T, T) + 2 * T) for lo, hi in row_bands
+        ) * nlb
+        lanes_cost = sum((l1 - l0) // LANE + 1 for l0, l1 in lane_bands) * R
+        return rows_cost + lanes_cost + REGION_FIXED_COST * (
+            len(row_bands) + len(lane_bands)
+        )
+
+    def area(blocks):
+        reg = region_of(blocks)
+        if reg is None:
+            return R * nlb
+        return _region_area(*reg)
+
+    def split_run(blocks):
+        """Interval DP: partition one contiguous masked run into groups
+        minimizing total select area + per-launch fixed cost."""
+        mlen = len(blocks)
+        best = [0.0] + [float("inf")] * mlen
+        cut = [0] * (mlen + 1)
+        for j in range(1, mlen + 1):
+            for i in range(j):
+                c = best[i] + launch_cost + (j - i) * area(blocks[i:j])
+                if c < best[j]:
+                    best[j], cut[j] = c, i
+        groups, j = [], mlen
+        while j > 0:
+            groups.append(blocks[cut[j] : j])
+            j = cut[j]
+        return list(reversed(groups))
+
+    if flags.all() or not flags.any():
+        wmode = bool(flags.any())
+        reg = region_of(list(range(nb))) if wmode else None
+        return rebase or 0, ((0, nb, wmode, reg),)
+    s0 = next(b for b in range(nb) if flags[b] != flags[b - 1])
+    shift = s0 if rebase is None else rebase // br
+    runs: list[list[int]] = [[s0]]
+    for k in range(1, nb):
+        b = (s0 + k) % nb
+        if flags[b] != flags[runs[-1][-1]]:
+            runs.append([b])
+        else:
+            runs[-1].append(b)
+    out = []
+    for run in runs:
+        if flags[run[0]]:
+            for g in split_run(run):
+                out.append(((g[0] - shift) % nb, len(g), True, region_of(g)))
+        else:
+            out.append(((run[0] - shift) % nb, len(run), False, None))
+    out.sort(key=lambda t: (not t[2], t[0]))
+    return shift * br, tuple(out)
+
+
 def _make_pass(cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip,
                lpad, segs, row_shift=0, fast_math=False):
     """One full kernel pass (temporal steps) as a chain of segment
     launches: each writes its circular block run into the shared aliased
-    donor buffer, so the chain composes the whole lattice update."""
+    donor buffer, so the chain composes the whole lattice update. Each
+    seg is (start, length, wall_mode[, region])."""
     steps = tuple(
         make_step(
             cfg, nx, nyp, br, interpret, temporal, wall_spec=wall_spec,
-            has_slip=has_slip, lpad=lpad, start=s, length=ln, wall_mode=w,
-            row_shift=row_shift, fast_math=fast_math,
+            has_slip=has_slip, lpad=lpad, start=seg[0], length=seg[1],
+            wall_mode=seg[2], row_shift=row_shift, fast_math=fast_math,
+            region=seg[3] if len(seg) > 3 else None,
         )
-        for (s, ln, w) in segs
+        for seg in segs
     )
 
     def one_pass(src, dst, walls_p, rfl):
@@ -1118,8 +1472,14 @@ def _make_runner(
     )
     K = refresh_interval(lpad, nyp - lpad - cfg.ny, cfg.ny, temporal)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def runner(f_p, scratch, walls_p, n_pairs):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def runner(f_p, walls_p, n_pairs):
+        # the ping-pong scratch is created INSIDE the jit: passing a
+        # fresh jnp.zeros_like from the caller made it a donated input
+        # XLA could not always alias, emitting a "donated buffers were
+        # not usable" warning (one full-lattice copy) on every call
+        scratch = jnp.zeros_like(f_p)
+
         def body(it, carry):
             a, b = carry
             p0 = 2 * jnp.asarray(it, jnp.int32)
@@ -1168,43 +1528,16 @@ def run_steps(
     if has_slip:
         wall_spec = None  # slip masks are arbitrary; DMA the class plane
     nx = f.shape[1]
-    t0 = DEFAULT_TEMPORAL if temporal is None else temporal
-    nyp, lpad = pick_layout(cfg.ny, max(t0, 1))
-    br = pick_block_config(
-        nx,
-        nyp,
-        np.dtype(cfg.dtype).itemsize,
-        walls_dma=wall_spec is None,
-    )[0]
-    if br == 0 or np.dtype(cfg.dtype) == np.float64 or cfg.ny < max(t0, 1):
+    mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
+    plan = _plan(cfg, nx, mask, temporal, interpret, wall_spec is None)
+    if plan is None:
         # odd shapes, float64 (software-emulated on TPU — a correctness
         # config, not a perf config; SURVEY.md section 7 'hard parts'),
         # and degenerate widths route to the XLA engine
         from . import stream_collide
 
         return stream_collide.run_steps(f, walls, cfg, n_steps, slip_x, slip_y)
-    if temporal is None:
-        # interpreter mode is a semantics tool — temporal blocking only
-        # multiplies its cost
-        temporal = 1 if interpret else min(
-            2
-            if (np.dtype(cfg.dtype) == np.dtype("bfloat16") or br < 32)
-            else DEFAULT_TEMPORAL,
-            br,
-        )  # T=2 measured fastest for bf16 (19.2k vs 18.2k at 800x4000)
-        # and for VMEM-capped BR<32 shapes (4000x16000 f32: 15.7k vs
-        # 14.1k at T=4): shallower windows lose less to row overlap,
-        # and halved/equal traffic keeps the DMA hidden
-    mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
-    if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
-        # huge lattices (>1 GB/buffer): the chained segment launches plus
-        # XLA's inability to donate through the pair loop double the
-        # resident buffer count and OOM the chip — run the single masked
-        # kernel (round-1 memory behavior; the split's win is a few
-        # percent here)
-        row_shift, segs = 0, ((0, None, True),)
-    else:
-        row_shift, segs = wall_partition(np.asarray(mask), br, temporal)
+    nyp, lpad, br, temporal, row_shift, segs = plan
     f_p, walls_p = pad_state(f, mask, cfg, nyp, lpad, row_shift)
     runner = _make_runner(
         cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip, lpad, segs,
@@ -1212,11 +1545,15 @@ def run_steps(
     )
 
     n_pairs = n_steps // (2 * temporal)
-    a, b = runner(f_p, jnp.zeros_like(f_p), walls_p, n_pairs)
+    a, b = runner(f_p, walls_p, n_pairs)
     rem = n_steps % (2 * temporal)
     if rem:
+        segs1 = (
+            segs if temporal == 1
+            else _segs_at(cfg, nx, mask, br, 1, nyp, lpad, row_shift)
+        )
         rem_runner = _make_rem_runner(
-            cfg, nx, nyp, br, interpret, rem, wall_spec, has_slip, lpad, segs,
+            cfg, nx, nyp, br, interpret, rem, wall_spec, has_slip, lpad, segs1,
             row_shift, fast_math,
         )
         a = rem_runner(a, b, walls_p)
@@ -1276,8 +1613,9 @@ def _make_probed_runner(
 
     on = _flag(True)  # diagnostics mode: re-mirror pads every pass
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def runner(a, b, walls_p, probes):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def runner(a, walls_p, probes):
+        b = jnp.zeros_like(a)  # in-jit scratch: see _make_runner
         if pairs:
             def body(carry, _):
                 def inner(_, c):
@@ -1326,34 +1664,18 @@ def run_steps_probed(
     if has_slip:
         wall_spec = None
     nx = f.shape[1]
-    nyp, lpad = pick_layout(cfg.ny, DEFAULT_TEMPORAL)
-    br = pick_block_config(
-        nx, nyp, np.dtype(cfg.dtype).itemsize, walls_dma=wall_spec is None
-    )[0]
-    if br == 0 or np.dtype(cfg.dtype) == np.float64 or cfg.ny < DEFAULT_TEMPORAL:
+    mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
+    plan = _plan(cfg, nx, mask, None, interpret, wall_spec is None)
+    if plan is None:
         fout, series = stream_collide.run_steps_probed(
             f, walls, cfg, n_steps, probes, slip_x, slip_y
         )
         return fout, series[every - 1 :: every]
-    temporal = 1 if interpret else min(
-            2
-            if (np.dtype(cfg.dtype) == np.dtype("bfloat16") or br < 32)
-            else DEFAULT_TEMPORAL,
-            br,
-        )  # T=2 measured fastest for bf16 (19.2k vs 18.2k at 800x4000)
-        # and for VMEM-capped BR<32 shapes (4000x16000 f32: 15.7k vs
-        # 14.1k at T=4): shallower windows lose less to row overlap,
-        # and halved/equal traffic keeps the DMA hidden
-    mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
-    if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
-        # huge lattices (>1 GB/buffer): the chained segment launches plus
-        # XLA's inability to donate through the pair loop double the
-        # resident buffer count and OOM the chip — run the single masked
-        # kernel (round-1 memory behavior; the split's win is a few
-        # percent here)
-        row_shift, segs = 0, ((0, None, True),)
-    else:
-        row_shift, segs = wall_partition(np.asarray(mask), br, temporal)
+    nyp, lpad, br, temporal, row_shift, segs = plan
+    if every % (2 * temporal) != 0 and temporal != 1:
+        # the probed runner falls back to T=1 passes (see
+        # _make_probed_runner); regions anchor to the window height
+        segs = _segs_at(cfg, nx, mask, br, 1, nyp, lpad, row_shift)
     f_p, walls_p = pad_state(f, mask, cfg, nyp, lpad, row_shift)
     # probe sites live at storage row (i - row_shift) mod nx, lane j + lpad
     probes = jnp.stack(
@@ -1363,7 +1685,7 @@ def run_steps_probed(
         cfg, nx, nyp, br, interpret, every, temporal, n_steps // every,
         wall_spec, has_slip, lpad, segs, row_shift, fast_math,
     )
-    fout_p, series = runner(f_p, jnp.zeros_like(f_p), walls_p, probes)
+    fout_p, series = runner(f_p, walls_p, probes)
     return unpad_state(fout_p, cfg, lpad, row_shift), series
 
 

@@ -161,17 +161,23 @@ def run_steps(
     return out
 
 
-def probe_values(f: jax.Array, probes: jax.Array) -> jax.Array:
-    """(rho, u_x, u_y) at probe sites. probes: (P, 2) int32 of (i, j).
-    Returns (P, 3). Nine point-gathers + moments — cheap enough to run
-    every step inside the scan."""
-    cols = f[:, probes[:, 0], probes[:, 1]]  # (9, P)
+def probe_moments(cols: jax.Array) -> jax.Array:
+    """(rho, u_x, u_y) from gathered per-site distribution columns
+    (9, P) -> (P, 3). Shared by the local and sharded probe gathers so
+    their association order (and hence bitwise results) agree."""
     density = cols[0]
     for s in range(1, NSPEEDS):
         density = density + cols[s]
     u_x = ((cols[6] + cols[2]) + cols[5] - ((cols[7] + cols[4]) + cols[8])) / density
     u_y = ((cols[5] + cols[1]) + cols[8] - ((cols[6] + cols[3]) + cols[7])) / density
     return jnp.stack([density, u_x, u_y], axis=-1)
+
+
+def probe_values(f: jax.Array, probes: jax.Array) -> jax.Array:
+    """(rho, u_x, u_y) at probe sites. probes: (P, 2) int32 of (i, j).
+    Returns (P, 3). Nine point-gathers + moments — cheap enough to run
+    every step inside the scan."""
+    return probe_moments(f[:, probes[:, 0], probes[:, 1]])
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(0,))

@@ -257,12 +257,39 @@ def make_pallas_run_steps(
         temporal = min(fk.DEFAULT_TEMPORAL, br)
     T = temporal
     refresh_k = fk.refresh_interval(lpad, rpad, cfg.ny, T)
-    step = fk.make_step(cfg, L, nyp, br, interpret, T, external_halo=True,
-                        wall_spec=wall_spec, has_slip=has_slip, lpad=lpad,
-                        fast_math=fast_math, rdma=rdma, axis=AXIS)
-    step1 = fk.make_step(cfg, L, nyp, br, interpret, 1, external_halo=True,
-                         wall_spec=wall_spec, has_slip=has_slip, lpad=lpad,
-                         fast_math=fast_math, rdma=rdma, axis=AXIS)
+    nb = L // br
+
+    def _trio(tdepth: int):
+        """The per-pass launch set at one temporal depth.
+
+        With >=3 blocks per shard, the pass is split into an interior
+        segment (blocks [1, nb-1), which takes NO halo inputs — its
+        launch has no data dependency on the ppermute, so XLA's
+        latency-hiding scheduler runs the collective underneath it) and
+        two one-block edge segments that alone consume the halos — the
+        compile-anywhere form of the reference's MPI_Isend /
+        compute-interior / MPI_Waitall / compute-boundary overlap
+        (README.md:45-51, img/comms-overlap.png). The rdma variant
+        instead overlaps inside one kernel; tiny shards (nb < 3) have
+        no interior and keep the single launch."""
+
+        def mk(**kw):
+            return fk.make_step(
+                cfg, L, nyp, br, interpret, tdepth, external_halo=True,
+                wall_spec=wall_spec, has_slip=has_slip, lpad=lpad,
+                fast_math=fast_math, axis=AXIS, **kw,
+            )
+
+        if rdma or nb < 3:
+            return (mk(rdma=rdma),)
+        return (
+            mk(start=1, length=nb - 2),   # interior: no halo inputs
+            mk(start=0, length=1),        # top edge: consumes htop
+            mk(start=nb - 1, length=1),   # bottom edge: consumes hbot
+        )
+
+    steps_T = _trio(T)
+    steps_1 = _trio(1)
 
     fspec = P(None, AXIS, None)
     wspec = P(AXIS, None)
@@ -275,50 +302,130 @@ def make_pallas_run_steps(
         from the neighbor's stored state, whose pads decay like ours)."""
         return x[..., lpad : lpad + cfg.ny][..., lane_to_col]
 
-    def _make_loop(rem: int):
-        def sharded_loop(f_l, walls_l, n_pairs):
-            n = jax.lax.axis_size(AXIS)
-            down = [(i, (i + 1) % n) for i in range(n)]
-            up = [(i, (i - 1) % n) for i in range(n)]
-            if wall_spec is None:
-                # static wall halos: one exchange per run
-                whtop = jax.lax.ppermute(walls_l[L - T :], AXIS, down)
-                whbot = jax.lax.ppermute(walls_l[:T], AXIS, up)
-            else:
-                # shard's global row offset for the in-kernel iota mask
-                offset = (jax.lax.axis_index(AXIS) * L).astype(jnp.int32)[None]
+    def _prelude(walls_l):
+        """Per-shard-map-region setup shared by the plain and probed
+        loops: neighbor permutations, static wall halos (or the shard's
+        global row offset), and the one_pass launcher."""
+        n = jax.lax.axis_size(AXIS)
+        down = [(i, (i + 1) % n) for i in range(n)]
+        up = [(i, (i - 1) % n) for i in range(n)]
+        whtop = whbot = offset = None
+        if wall_spec is None:
+            # static wall halos: one exchange per run
+            whtop = jax.lax.ppermute(walls_l[L - T :], AXIS, down)
+            whbot = jax.lax.ppermute(walls_l[:T], AXIS, up)
+        else:
+            # shard's global row offset for the in-kernel iota mask
+            offset = (jax.lax.axis_index(AXIS) * L).astype(jnp.int32)[None]
 
-            def one_pass(src, donor, stepfn, t, rfl):
-                if rdma:
-                    # the kernel exchanges its own halos over ICI
-                    if wall_spec is not None:
-                        return stepfn(src, donor, walls_l, offset, rfl)[0]
-                    wt = whtop[T - t :] if t < T else whtop
-                    return stepfn(src, donor, walls_l, wt, whbot[:t], rfl)[0]
-                htop = _remirror(jax.lax.ppermute(src[:, L - t :, :], AXIS, down))
-                hbot = _remirror(jax.lax.ppermute(src[:, :t, :], AXIS, up))
+        def one_pass(src, donor, steps, t, rfl):
+            if rdma:
+                # the kernel exchanges its own halos over ICI
+                stepfn = steps[0]
                 if wall_spec is not None:
-                    return stepfn(src, donor, walls_l, htop, hbot, offset, rfl)
+                    return stepfn(src, donor, walls_l, offset, rfl)[0]
+                wt = whtop[T - t :] if t < T else whtop
+                return stepfn(src, donor, walls_l, wt, whbot[:t], rfl)[0]
+            # the ppermutes are issued first; the interior launch
+            # below has no data dependency on them, so the ICI
+            # transfer rides underneath the interior compute
+            htop = _remirror(jax.lax.ppermute(src[:, L - t :, :], AXIS, down))
+            hbot = _remirror(jax.lax.ppermute(src[:, :t, :], AXIS, up))
+            wt = wb = None
+            if wall_spec is None:
                 wt = whtop[T - t :] if t < T else whtop
                 wb = whbot[:t]
-                return stepfn(src, donor, walls_l, htop, hbot, wt, wb, rfl)
+            if len(steps) == 1:
+                if wall_spec is not None:
+                    return steps[0](src, donor, walls_l, htop, hbot, offset, rfl)
+                return steps[0](src, donor, walls_l, htop, hbot, wt, wb, rfl)
+            s_int, s_top, s_bot = steps
+            if wall_spec is not None:
+                donor = s_int(src, donor, walls_l, offset, rfl)
+                donor = s_top(src, donor, walls_l, htop, offset, rfl)
+                return s_bot(src, donor, walls_l, hbot, offset, rfl)
+            donor = s_int(src, donor, walls_l, rfl)
+            donor = s_top(src, donor, walls_l, htop, wt, rfl)
+            return s_bot(src, donor, walls_l, hbot, wb, rfl)
+
+        return one_pass
+
+    def _make_loop(rem: int):
+        def sharded_loop(f_l, walls_l, n_pairs):
+            one_pass = _prelude(walls_l)
 
             def body(it, carry):
                 a, b = carry
                 p0 = 2 * jnp.asarray(it, jnp.int32)
                 K = jnp.int32(refresh_k)
-                b = one_pass(a, b, step, T, fk._flag(jax.lax.rem(p0, K) == 0))
-                a = one_pass(b, a, step, T,
+                b = one_pass(a, b, steps_T, T, fk._flag(jax.lax.rem(p0, K) == 0))
+                a = one_pass(b, a, steps_T, T,
                              fk._flag(jax.lax.rem(p0 + 1, K) == 0))
                 return (a, b)
 
             a, b = jax.lax.fori_loop(0, n_pairs, body, (f_l, jnp.zeros_like(f_l)))
             on = fk._flag(True)
             for _ in range(rem):
-                a, b = one_pass(a, b, step1, 1, on), a
+                a, b = one_pass(a, b, steps_1, 1, on), a
             return a
 
         return sharded_loop
+
+    def _make_probed_loop(n_chunks: int, every: int):
+        """Probe-fused sharded loop: n_chunks * every steps under ONE
+        shard_map, emitting a psum-reduced (rho, u_x, u_y) probe gather
+        after each `every`-step chunk — run_probed on the sharded
+        backends as one jit + one host sync (mirrors the local
+        fused_kernel._make_probed_runner's pass-structure preference:
+        temporal pairs when every % (2T) == 0, single-step pairs when
+        even, swapped-role single passes otherwise)."""
+        from ..ops.stream_collide import probe_moments
+
+        if every % (2 * T) == 0:
+            t_used, pairs, steps_used = T, every // (2 * T), steps_T
+        elif every % 2 == 0:
+            t_used, pairs, steps_used = 1, every // 2, steps_1
+        else:
+            t_used, pairs, steps_used = 1, 0, steps_1
+
+        def probe_local(a_l, probes):
+            # each probe site lives on exactly one shard: gather locally
+            # (clipped rows elsewhere), zero the out-of-shard rows, and
+            # psum — every device ends with the full series chunk
+            off = (jax.lax.axis_index(AXIS) * L).astype(jnp.int32)
+            rows = probes[:, 0] - off
+            inb = (rows >= 0) & (rows < L)
+            cols = a_l[:, jnp.clip(rows, 0, L - 1), probes[:, 1] + lpad]
+            vals = probe_moments(cols)
+            return jax.lax.psum(
+                jnp.where(inb[:, None], vals, jnp.zeros_like(vals)), AXIS
+            )
+
+        def probed_loop(f_l, walls_l, probes):
+            one_pass = _prelude(walls_l)
+            on = fk._flag(True)  # diagnostics mode: re-mirror every pass
+
+            def chunk(carry, _):
+                a, b = carry
+                if pairs:
+                    def inner(_, c):
+                        x, y = c
+                        y = one_pass(x, y, steps_used, t_used, on)
+                        x = one_pass(y, x, steps_used, t_used, on)
+                        return (x, y)
+
+                    a, b = jax.lax.fori_loop(0, pairs, inner, (a, b))
+                else:
+                    for _ in range(every):
+                        a, b = one_pass(a, b, steps_1, 1, on), a
+                return (a, b), probe_local(a, probes)
+
+            (a, b), series = jax.lax.scan(
+                chunk, (f_l, jnp.zeros_like(f_l)), length=n_chunks
+            )
+            return a, series
+
+        return probed_loop
 
     @functools.lru_cache(maxsize=8)
     def _jitted(rem: int):
@@ -344,6 +451,30 @@ def make_pallas_run_steps(
         # remainder class changes
         return _jitted(n_steps % (2 * T))(f, walls, n_steps // (2 * T))
 
+    @functools.lru_cache(maxsize=8)
+    def _jitted_probed(n_chunks: int, every: int):
+        @partial(jax.jit, donate_argnums=(0,))
+        def run(f, walls, probes):
+            f_p, walls_p = fk.pad_state(f, walls, cfg, nyp, lpad)
+            out, series = jax.shard_map(
+                _make_probed_loop(n_chunks, every),
+                mesh=mesh,
+                in_specs=(fspec, wspec, P()),
+                out_specs=(fspec, P()),
+                check_vma=False,
+            )(f_p, walls_p, probes)
+            return out[:, :, lpad : lpad + cfg.ny], series
+
+        return run
+
+    def run_probed(f, walls, n_steps: int, probes, every: int = 1):
+        """(f_final, series): one jit, one host sync (see
+        _make_probed_loop). probes are global (P, 2) (i, j) sites."""
+        if n_steps % every:
+            raise ValueError(f"n_steps={n_steps} not divisible by every={every}")
+        return _jitted_probed(n_steps // every, every)(f, walls, probes)
+
+    run_steps.run_probed = run_probed
     return run_steps
 
 
@@ -354,8 +485,7 @@ def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False,
     fused_kernel.class_plane)."""
     cache: dict = {}
 
-    def run(f, walls, cfg, n_steps, wall_spec=None, slip_x=None, slip_y=None,
-            fast_math=False):
+    def _cached(f, walls, cfg, wall_spec, slip_x, slip_y, fast_math):
         from ..ops import fused_kernel as fk
 
         m = mesh if mesh is not None else make_mesh()
@@ -370,8 +500,19 @@ def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False,
                 has_slip=has_slip, fast_math=fast_math, rdma=rdma,
             )
         f, walls = shard_state(m, f, walls)
-        return cache[key](f, walls, n_steps)
+        return cache[key], f, walls
 
+    def run(f, walls, cfg, n_steps, wall_spec=None, slip_x=None, slip_y=None,
+            fast_math=False):
+        rs, f, walls = _cached(f, walls, cfg, wall_spec, slip_x, slip_y, fast_math)
+        return rs(f, walls, n_steps)
+
+    def run_probed(f, walls, cfg, n_steps, probes, every=1, wall_spec=None,
+                   slip_x=None, slip_y=None, fast_math=False):
+        rs, f, walls = _cached(f, walls, cfg, wall_spec, slip_x, slip_y, fast_math)
+        return rs.run_probed(f, walls, n_steps, probes, every)
+
+    run.run_probed = run_probed
     return run
 
 

@@ -155,6 +155,64 @@ def mode_tpu(args):
     for n, d in sorted(names.items(), key=lambda kv: -kv[1])[:5]:
         print(f"  {d/1e3:8.2f} ms  {n}")
 
+    # same extraction for the production sharded-PALLAS path, plus an
+    # overlap check: how much of the permute time runs concurrently with
+    # a kernel launch (the interior segment has no data dependency on
+    # the ppermute, so a scheduler that overlaps shows ~100% here — the
+    # programmatic read of the reference's img/comms-overlap.png)
+    trace_dir2 = args.trace_dir + "_pallas"
+    os.makedirs(trace_dir2, exist_ok=True)
+    sim = Simulation(cfg, walls, backend="sharded-pallas")
+    sim.run(16)
+    jax.profiler.start_trace(trace_dir2, create_perfetto_trace=True)
+    sim.run(64)
+    jax.profiler.stop_trace()
+    res2 = _perfetto_comm_fraction(trace_dir2)
+    if res2 is not None:
+        comm, total, _ = res2
+        print(f"\nsharded-pallas: permute time {comm/1e3:.2f} ms of "
+              f"{total/1e3:.2f} ms = {100*comm/max(total,1e-9):.1f}%")
+    ov = _perfetto_overlap(trace_dir2)
+    if ov is not None:
+        p_tot, p_ov = ov
+        print(f"sharded-pallas: {100*p_ov/max(p_tot,1e-9):.1f}% of permute "
+              f"time overlapped with kernel compute "
+              f"(reference overlap mode: README.md:45-51)")
+
+
+def _perfetto_overlap(trace_dir):
+    """(permute_total_us, permute_overlapped_us): how much permute time
+    coincides with a Pallas kernel slice on another track."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.json.gz"), recursive=True)
+    if not paths:
+        return None
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = [e for e in trace.get("traceEvents", []) if e.get("ph") == "X"]
+    kerns, perms = [], []
+    for e in events:
+        name = e.get("name", "").lower()
+        iv = (float(e.get("ts", 0.0)), float(e.get("ts", 0.0)) + float(e.get("dur", 0.0)))
+        if "permute" in name:
+            perms.append(iv)
+        elif "custom-call" in name or "pallas" in name or "fusion" in name:
+            kerns.append(iv)
+    if not perms:
+        return None
+    kerns.sort()
+    p_tot = p_ov = 0.0
+    for (a, b) in perms:
+        p_tot += b - a
+        cov = 0.0
+        for (c, d) in kerns:
+            lo, hi = max(a, c), min(b, d)
+            if lo < hi:
+                cov += hi - lo
+            if c > b:
+                break
+        p_ov += min(cov, b - a)
+    return p_tot, p_ov
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -230,7 +230,9 @@ def test_wall_spec_bitwise_equals_dma_path(geom):
 
 
 def test_wall_spec_temporal_blocking_bitwise():
-    cfg = LatticeConfig(nx=64, ny=200, dtype=np.float32)
+    # ny=72 keeps the interpret cost down (this was the suite's slowest
+    # test at ny=200); the padded-lane path is identical
+    cfg = LatticeConfig(nx=64, ny=72, dtype=np.float32)
     walls = geometry.build("barrier", cfg.nx, cfg.ny)
     spec = geometry.infer_spec(walls)
     f0 = jnp.asarray(initial_state(cfg))
@@ -300,6 +302,134 @@ def test_wall_segments_and_partition():
 
     # uniform masks collapse to a single segment
     assert wall_partition(geometry.empty(nx, ny), br, T) == (0, ((0, nb, False),))
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _forced_regions():
+    """Zero the region cost model so the recompute-region kernel engages
+    on CPU-sized lattices (at real scale the economics pick it on their
+    own; on toy widths a kernel launch costs more than any region
+    saves). Clears the runner caches on entry and exit."""
+    orig_part = fk.wall_partition_regions
+    orig_fixed = fk.REGION_FIXED_COST
+
+    def zero_cost(mask, br, temporal, ny, nyp, lpad, launch_cost=None, rebase=None):
+        return orig_part(mask, br, temporal, ny, nyp, lpad, 0.0, rebase)
+
+    fk.wall_partition_regions = zero_cost
+    fk.REGION_FIXED_COST = 0.0
+    fk._make_runner.cache_clear()
+    fk._make_probed_runner.cache_clear()
+    fk._make_rem_runner.cache_clear()
+    fk.make_step.cache_clear()
+    try:
+        yield
+    finally:
+        fk.wall_partition_regions = orig_part
+        fk.REGION_FIXED_COST = orig_fixed
+        fk._make_runner.cache_clear()
+        fk._make_probed_runner.cache_clear()
+        fk._make_rem_runner.cache_clear()
+        fk.make_step.cache_clear()
+
+
+def test_multi_segment_regions_match_xla():
+    """A lattice whose partition yields masked runs (with recompute
+    regions) AND free runs under a nonzero row rotation: channel walls
+    are rows-narrow (2 rows, all lanes), the interior barrier is
+    lanes-narrow (1 lane block), and one block is solid-free. Exercises
+    the chained segment launches, the region recomputes, and — via the
+    odd step count with temporal=2 — the remainder runner's
+    re-partition at T=1 (regions anchor to the window height)."""
+    cfg = LatticeConfig(nx=96, ny=1152, dtype=np.float32)
+    walls = np.zeros((cfg.nx, cfg.ny), bool)
+    walls[0, :] = walls[-1, :] = True   # row-type walls (channel)
+    walls[8:24, 600:605] = True        # lane-type wall (thin barrier)
+
+    with _forced_regions():
+        nyp, lpad = fk.pick_layout(cfg.ny, 2)
+        row_shift, segs = fk.wall_partition_regions(walls, 32, 2, cfg.ny, nyp, lpad)
+        assert row_shift % 32 == 0 and row_shift != 0
+        assert any(not s[2] for s in segs)            # a free run exists
+        regions = [s[3] for s in segs if s[2] and s[3] is not None]
+        assert regions, "zero-cost model must produce recompute regions"
+        assert any(r[0] for r in regions)  # a row band (channel walls)
+        assert any(r[1] for r in regions)  # a lane band (thin barrier)
+
+        f0 = jnp.asarray(initial_state(cfg))
+        w = jnp.asarray(walls)
+        out = np.asarray(fk.run_steps(f0, w, cfg, 7, interpret=True, temporal=2))
+        from latticeboltzmann_tpu.ops import stream_collide
+
+        ref = np.asarray(
+            stream_collide.run_steps(jnp.asarray(initial_state(cfg)), w, cfg, 7)
+        )
+        np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
+
+        # probed path (T=1 passes under the same rotation)
+        probes = jnp.asarray(np.array([[5, 70], [47, 61], [100, 10]]), jnp.int32)
+        fout, series = fk.run_steps_probed(
+            jnp.asarray(initial_state(cfg)), w, cfg, 6, probes, every=3,
+            interpret=True,
+        )
+        fref, sref = stream_collide.run_steps_probed(
+            jnp.asarray(initial_state(cfg)), w, cfg, 6, probes
+        )
+        np.testing.assert_allclose(np.asarray(fout), np.asarray(fref), rtol=0, atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(series), np.asarray(sref)[2::3], rtol=0, atol=5e-6
+        )
+
+
+def test_region_equals_coarse_on_rough_state():
+    """The recompute-region path must match the coarse full-mask
+    partition — from a spatially rough state, so any sub-window
+    coordinate slip (e.g. the ey=-1 lane roll taken modulo nyp instead
+    of the window width, a real regression caught on hardware) produces
+    O(1e-2) errors instead of hiding in near-uniform startup flow. The
+    tolerance is tight (1e-6 absolute after 8 steps) but not zero: XLA
+    fuses the select-free and masked interpret graphs differently, so
+    legitimate FMA-contraction noise of ~2e-8 appears on ~30% of
+    sites."""
+    cfg = LatticeConfig(nx=96, ny=1152, dtype=np.float32)
+    walls = np.zeros((cfg.nx, cfg.ny), bool)
+    walls[0, :] = walls[-1, :] = True
+    walls[8:24, 600:605] = True
+
+    rng = np.random.default_rng(7)
+    f0 = initial_state(cfg) * (1.0 + 0.1 * rng.random((9, cfg.nx, cfg.ny))).astype(
+        np.float32
+    )
+    w = jnp.asarray(walls)
+    with _forced_regions():
+        nyp, lpad = fk.pick_layout(cfg.ny, 4)
+        _, segs = fk.wall_partition_regions(walls, 32, 4, cfg.ny, nyp, lpad)
+        assert any(s[3] is not None for s in segs)
+        out_region = np.asarray(
+            fk.run_steps(jnp.asarray(f0), w, cfg, 8, interpret=True, temporal=4)
+        )
+
+    orig = fk.wall_partition_regions
+
+    def coarse(mask, br, temporal, ny, nyp, lpad, launch_cost=2400.0, rebase=None):
+        rs, segs = fk.wall_partition(np.asarray(mask), br, temporal)
+        return rs, tuple((s, ln, wm, None) for (s, ln, wm) in segs)
+
+    fk.wall_partition_regions = coarse
+    fk._make_runner.cache_clear()
+    fk.make_step.cache_clear()
+    try:
+        out_coarse = np.asarray(
+            fk.run_steps(jnp.asarray(f0), w, cfg, 8, interpret=True, temporal=4)
+        )
+    finally:
+        fk.wall_partition_regions = orig
+        fk._make_runner.cache_clear()
+        fk.make_step.cache_clear()
+    np.testing.assert_allclose(out_region, out_coarse, rtol=0, atol=1e-6)
 
 
 def test_refresh_interval_bounds():

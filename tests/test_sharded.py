@@ -131,8 +131,10 @@ def test_sharded_pallas_wall_spec_bitwise():
     shard's SMEM offset, no walls DMA, no wall-halo ppermute) is bitwise
     identical to the sharded mask-DMA path and to the unsharded kernel,
     across all 8 virtual devices."""
-    cfg = LatticeConfig(nx=8 * 16, ny=200, dtype=np.float32)
-    for geom in ("barrier", "cylinder"):
+    cfg = LatticeConfig(nx=8 * 16, ny=128, dtype=np.float32)
+    # one geometry: the spec-vs-DMA mechanism is geometry-independent and
+    # the cylinder spec is covered by the local-path bitwise test
+    for geom in ("barrier",):
         walls = geometry.build(geom, cfg.nx, cfg.ny)
         spec_sim = Simulation(cfg, walls, backend="sharded-pallas-interpret")
         assert spec_sim.wall_spec is not None

@@ -140,14 +140,14 @@ def test_slip_backend_parity(backend):
     kernel (br=16+) rather than the odd-shape XLA fallback."""
     cfg, walls, slip_x, slip_y = _slip_scene(64, 128, np.float32)
     ref = Simulation(cfg, walls, backend="xla", slip_x=slip_x, slip_y=slip_y)
-    ref.run(10)
+    ref.run(6)
     got = Simulation(cfg, walls, backend=backend, slip_x=slip_x, slip_y=slip_y)
-    got.run(10)
+    got.run(6)
     np.testing.assert_allclose(got.state(), ref.state(), rtol=1e-5, atol=1e-7)
     # and the slip wall actually behaves as slip (plug, not sheared):
     # compare against a bounce-back run of the same backend
     bb = Simulation(cfg, walls | np.asarray(slip_x), backend=backend)
-    bb.run(10)
+    bb.run(6)
     assert np.abs(got.state() - bb.state()).max() > 1e-6
 
 

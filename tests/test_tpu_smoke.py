@@ -8,7 +8,9 @@ compiled kernel for a few steps in a subprocess against the ambient TPU
 backend (the suite's own process is pinned to CPU by conftest.py), and
 auto-skips when no TPU is reachable.
 
-Run explicitly with `pytest -m tpu`; it is also collected by default.
+Run explicitly with `pytest -m tpu` — deselected by default (pyproject
+addopts) because the tunnel admits one TPU process at a time and a
+default `pytest` run would contend with any active benchmark.
 """
 
 import os
