@@ -72,14 +72,28 @@ def main() -> int:
         sim.run(n)
         return sim.elapsed
 
-    # --- slope rate: cancels fixed per-call cost (tunnel RPC/dispatch)
-    # step counts are multiples of 2*T(max)=8 so both runs take the
-    # pre-compiled zero-remainder path
-    n1, n2 = 1600, 4800
-    t1 = min(timed(n1) for _ in range(2))
-    t2 = min(timed(n2) for _ in range(2))
-    per_step = (t2 - t1) / (n2 - n1)
+    # --- slope rate: cancels fixed per-call cost (tunnel RPC/dispatch).
+    # Step counts are multiples of 240 = lcm(2T) for every temporal
+    # depth in use, so both runs take the same pre-compiled
+    # zero-remainder program — a remainder-class mismatch once let a
+    # first-call rem-runner compile poison t1 and produce a 9 us/step
+    # "slope" the gate then believed.
+    n1, n2 = 1680, 5040
+    timed(n1)  # absorb any one-off compile/cache effects at this size
+    t1s = [timed(n1) for _ in range(2)]
+    t2s = [timed(n2) for _ in range(2)]
+    per_step = (min(t2s) - min(t1s)) / (n2 - n1)
     slope_mlups = cfg.sites / per_step / 1e6 if per_step > 0 else 0.0
+    # two independent slope estimates must agree: a tunnel hiccup inside
+    # one short run produces an absurd one-off slope (a first-call
+    # compile once yielded "9 us/step" = 353k MLUPS, which the gate then
+    # believed); a genuine device rate reproduces.
+    slopes = [(t2s[0] - t1s[0]) / (n2 - n1), (t2s[1] - t1s[1]) / (n2 - n1)]
+    slope_valid = bool(
+        per_step > 0
+        and all(s > 0 for s in slopes)
+        and max(slopes) <= 1.3 * min(slopes)
+    )
 
     # --- end-to-end rate: >=3 full runs, all values recorded
     def e2e_pass() -> list[float]:
@@ -94,18 +108,13 @@ def main() -> int:
     # A >2x gap means the *environment* degraded mid-run; retry once,
     # then flag instead of recording a broken number as the device rate.
     degraded = False
-    if slope_mlups > 0 and e2e_mlups < 0.5 * slope_mlups:
+    if slope_valid and e2e_mlups < 0.5 * slope_mlups:
         e2e_times += e2e_pass()
         best = min(e2e_times)
         e2e_mlups = cfg.sites * args.steps / best / 1e6
         degraded = e2e_mlups < 0.5 * slope_mlups
 
-    if slope_mlups <= 0:  # nonsensical slope (clock went backwards):
-        mlups = e2e_mlups  # trust only the end-to-end measurement
-    elif degraded:
-        mlups = slope_mlups
-    else:
-        mlups = e2e_mlups
+    mlups = slope_mlups if (degraded and slope_valid) else e2e_mlups
 
     # correctness guard: the run must be numerically sane (the reference
     # hard-faults on NaN via feenableexcept, src/latticeboltzmann.c:129)
@@ -124,6 +133,7 @@ def main() -> int:
         "e2e_mlups": round(e2e_mlups, 1),
         "slope_mlups": round(slope_mlups, 1),
         "slope_us_per_step": round(per_step * 1e6, 2),
+        "slope_valid": slope_valid,
         "degraded_environment": degraded,
         "reynolds": float(re),
         "finite_and_positive": ok,

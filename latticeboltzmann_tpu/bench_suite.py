@@ -62,15 +62,28 @@ def run_config(name, nx, ny, precision, geo, backend, steps, warmup=200):
         runtime = sim.elapsed
         mlups = sim.mlups
         re = sim.reynolds()
+        # physics validation: the run must show actual developed flow,
+        # not just finite numbers. At very wide lattices the reference's
+        # ny/2 probe column is physically unreachable within the run
+        # (momentum spreads at ~the lattice sound speed: 10k steps cover
+        # ~5.8k columns), so probe a column the flow has reached; the
+        # jsonl records both values.
+        re_dev = re
+        dev_col = None
+        if abs(re) < 1e-9 and ny > 2 * steps // 3:
+            dev_col = min(1000, ny // 4, max(16, steps // 3))
+            re_dev = sim.reynolds(dev_col)
         # on-device macroscopic extraction is part of config 3's contract
         rho, ux, uy = sim.macroscopic()
-        ok = bool(np.isfinite(rho).all() and np.isfinite(re))
+        ok = bool(
+            np.isfinite(rho).all() and np.isfinite(re) and abs(re_dev) > 1e-9
+        )
     finally:
         if precision == "f64":
             # x64 mode poisons later Pallas compiles (i64 grid indices);
             # scope it to this config
             jax.config.update("jax_enable_x64", False)
-    return {
+    out = {
         "config": name,
         "lattice": f"{nx}x{ny}",
         "precision": precision,
@@ -81,6 +94,10 @@ def run_config(name, nx, ny, precision, geo, backend, steps, warmup=200):
         "reynolds": float(re),
         "sane": ok,
     }
+    if dev_col is not None:
+        out["reynolds_developed_col"] = dev_col
+        out["reynolds_developed"] = float(re_dev)
+    return out
 
 
 def main(argv=None) -> int:

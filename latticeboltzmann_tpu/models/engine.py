@@ -286,8 +286,10 @@ class Simulation:
         _, ux, uy = xla_ops.macroscopic(self.f)
         return np.asarray(ux * ux + uy * uy)
 
-    def reynolds(self) -> float:
-        return float(xla_ops.reynolds(self.f, self.walls, self.cfg))
+    def reynolds(self, col: int | None = None) -> float:
+        """Reynolds number at a column (default ny/2, the reference's
+        regression scalar, src/latticeboltzmann.c:522-547)."""
+        return float(xla_ops.reynolds(self.f, self.walls, self.cfg, col))
 
     @property
     def mlups(self) -> float:

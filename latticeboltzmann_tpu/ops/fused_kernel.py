@@ -1134,6 +1134,27 @@ def pad_state(f, walls, cfg: LatticeConfig, nyp: int, lpad: int,
     return f_p[:, :, idx], walls_p[:, idx]
 
 
+_pad_state_jit = jax.jit(
+    pad_state, static_argnums=(2, 3, 4, 5), donate_argnums=(0,)
+)
+
+
+def _pad_state_donated(f, walls, cfg, nyp, lpad, row_shift=0):
+    """Donating form for the top-level runners: frees the unpadded
+    state's HBM buffer once the padded copy exists, instead of keeping
+    both live for the whole run — 2.3 GB of headroom at 4000x16000.
+    The shapes differ, so XLA cannot ALIAS the donation and warns
+    "donated buffers were not usable"; the donation is deliberate for
+    its lifetime effect alone, so that warning is suppressed here."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable"
+        )
+        return _pad_state_jit(f, walls, cfg, nyp, lpad, row_shift)
+
+
 def unpad_state(f_p, cfg: LatticeConfig, lpad: int, row_shift: int = 0):
     """Invert pad_state: (9, NX, NYP) storage layout -> (9, NX, NY)."""
     if row_shift:
@@ -1178,11 +1199,14 @@ def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma):
             br,
         )
     if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
-        # huge lattices (>1 GB/buffer): the chained segment launches plus
-        # XLA's inability to donate through the pair loop double the
-        # resident buffer count and OOM the chip — run the single masked
-        # kernel (round-1 memory behavior; the split's win is a few
-        # percent here)
+        # huge lattices (>1 GB/buffer): chained segment launches inside
+        # the pair loop hold unaliased full-lattice temporaries and
+        # exhaust HBM — measured at 4000x16000 f32 (2.32 GB/buffer):
+        # the 3-launch region partition, the maximally-merged 2-launch
+        # partition, AND 2-launch + donated pad_state (2.3 GB freed)
+        # all ResourceExhausted the chip; only the single full-grid
+        # masked launch fits. Per-block wall specialization at this
+        # scale needs the 2-D lane-panel grid (docs/ROADMAP.md).
         row_shift, segs = 0, ((0, None, True, None),)
     else:
         row_shift, segs = wall_partition_regions(
@@ -1198,7 +1222,7 @@ def _segs_at(cfg: LatticeConfig, nx: int, mask, br: int, temporal: int,
     the state was padded with — select regions anchor to the window
     height br + 2*T, so a T=4 region is misaligned in a T=1 kernel."""
     if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
-        return ((0, None, True, None),)
+        return ((0, None, True, None),)  # single launch: see _plan
     return wall_partition_regions(
         np.asarray(mask), br, temporal, cfg.ny, nyp, lpad, rebase=row_shift
     )[1]
@@ -1538,7 +1562,8 @@ def run_steps(
 
         return stream_collide.run_steps(f, walls, cfg, n_steps, slip_x, slip_y)
     nyp, lpad, br, temporal, row_shift, segs = plan
-    f_p, walls_p = pad_state(f, mask, cfg, nyp, lpad, row_shift)
+    f_p, walls_p = _pad_state_donated(f, mask, cfg, nyp, lpad, row_shift)
+    del f  # the unpadded buffer is donated: dead from here on
     runner = _make_runner(
         cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip, lpad, segs,
         row_shift, fast_math,
@@ -1676,7 +1701,8 @@ def run_steps_probed(
         # the probed runner falls back to T=1 passes (see
         # _make_probed_runner); regions anchor to the window height
         segs = _segs_at(cfg, nx, mask, br, 1, nyp, lpad, row_shift)
-    f_p, walls_p = pad_state(f, mask, cfg, nyp, lpad, row_shift)
+    f_p, walls_p = _pad_state_donated(f, mask, cfg, nyp, lpad, row_shift)
+    del f  # the unpadded buffer is donated: dead from here on
     # probe sites live at storage row (i - row_shift) mod nx, lane j + lpad
     probes = jnp.stack(
         [(probes[:, 0] - row_shift) % nx, probes[:, 1] + lpad], axis=1

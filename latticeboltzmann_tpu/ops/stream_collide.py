@@ -213,16 +213,29 @@ def macroscopic(f: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     return density, u_x, u_y
 
 
-def reynolds(f: jax.Array, walls: jax.Array, cfg: LatticeConfig) -> jax.Array:
-    """Reynolds number over the central column (src/latticeboltzmann.c:522-547)."""
-    j = int(cfg.ny / 2.0)
-    col = f[:, :, j]
+def reynolds(
+    f: jax.Array, walls: jax.Array, cfg: LatticeConfig, col: int | None = None
+) -> jax.Array:
+    """Reynolds number over a column, default the central one
+    (src/latticeboltzmann.c:522-547). `col` overrides the probe column
+    — at very wide lattices the flow physically cannot reach ny/2
+    within a short run (momentum spreads at ~the lattice sound speed),
+    so validation probes a developed column instead.
+
+    Accumulates in at least float32 regardless of the storage dtype:
+    the bf16 mean-u_y reduction underflowed to exactly 0.0 on the
+    4000x16000 config (u_y ~ 1e-5 against an 8-bit mantissa) — a
+    diagnostics-precision artifact, not physics; the reference has no
+    low-precision analog to pin this to."""
+    j = int(cfg.ny / 2.0) if col is None else col
+    dt = jnp.promote_types(f.dtype, jnp.float32)
+    col_f = f[:, :, j].astype(dt)
     fluid = ~walls[:, j]
-    density = col[0]
+    density = col_f[0]
     for s in range(1, NSPEEDS):
-        density = density + col[s]
-    u_y = ((col[5] + col[1]) + col[8] - ((col[6] + col[3]) + col[7])) / density
-    total = jnp.sum(jnp.where(fluid, u_y, jnp.zeros((), f.dtype)))
-    n = jnp.sum(fluid).astype(f.dtype)
-    visc = jnp.asarray(cfg.viscosity, f.dtype)
-    return total / n * jnp.asarray(10.0, f.dtype) / visc
+        density = density + col_f[s]
+    u_y = ((col_f[5] + col_f[1]) + col_f[8] - ((col_f[6] + col_f[3]) + col_f[7])) / density
+    total = jnp.sum(jnp.where(fluid, u_y, jnp.zeros((), dt)))
+    n = jnp.sum(fluid).astype(dt)
+    visc = jnp.asarray(cfg.viscosity, dt)
+    return total / n * jnp.asarray(10.0, dt) / visc

@@ -221,11 +221,13 @@ def test_wall_spec_bitwise_equals_dma_path(geom):
     walls = geometry.build(geom, cfg.nx, cfg.ny)
     spec = geometry.infer_spec(walls)
     assert spec is not None
-    f0 = jnp.asarray(initial_state(cfg))
-    a = np.asarray(fk.run_steps(f0, jnp.asarray(walls), cfg, 5, interpret=True))
-    b = np.asarray(
-        fk.run_steps(f0, jnp.asarray(walls), cfg, 5, interpret=True, wall_spec=spec)
-    )
+    # run_steps donates its input (freeing the unpadded buffer during
+    # the run), so each call gets a fresh device array
+    a = np.asarray(fk.run_steps(
+        jnp.asarray(initial_state(cfg)), jnp.asarray(walls), cfg, 5, interpret=True))
+    b = np.asarray(fk.run_steps(
+        jnp.asarray(initial_state(cfg)), jnp.asarray(walls), cfg, 5, interpret=True,
+        wall_spec=spec))
     np.testing.assert_array_equal(a, b)
 
 
@@ -235,11 +237,12 @@ def test_wall_spec_temporal_blocking_bitwise():
     cfg = LatticeConfig(nx=64, ny=72, dtype=np.float32)
     walls = geometry.build("barrier", cfg.nx, cfg.ny)
     spec = geometry.infer_spec(walls)
-    f0 = jnp.asarray(initial_state(cfg))
-    a = np.asarray(fk.run_steps(f0, jnp.asarray(walls), cfg, 8, interpret=True, temporal=4))
-    b = np.asarray(
-        fk.run_steps(f0, jnp.asarray(walls), cfg, 8, interpret=True, temporal=4, wall_spec=spec)
-    )
+    a = np.asarray(fk.run_steps(
+        jnp.asarray(initial_state(cfg)), jnp.asarray(walls), cfg, 8, interpret=True,
+        temporal=4))
+    b = np.asarray(fk.run_steps(
+        jnp.asarray(initial_state(cfg)), jnp.asarray(walls), cfg, 8, interpret=True,
+        temporal=4, wall_spec=spec))
     np.testing.assert_array_equal(a, b)
 
 
