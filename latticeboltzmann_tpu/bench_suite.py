@@ -70,7 +70,7 @@ def run_config(name, nx, ny, precision, geo, backend, steps, warmup=200):
         # jsonl records both values.
         re_dev = re
         dev_col = None
-        if abs(re) < 1e-9 and ny > 2 * steps // 3:
+        if abs(re) < 1e-3 and ny > 2 * steps // 3:
             dev_col = min(1000, ny // 4, max(16, steps // 3))
             re_dev = sim.reynolds(dev_col)
         # on-device macroscopic extraction is part of config 3's contract

@@ -142,10 +142,27 @@ def _make_kernel(
     rdma: bool = False,
     axis: str = "x",
     region=None,
+    panels: int = 1,
 ):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
     reference's #define block, src/latticeboltzmann.c:36-56).
+
+    panels > 1 adds a SECOND (outer) grid dimension over lane panels of
+    P = nyp/panels lanes each — the 2-D (x, y) block grid for lattices
+    whose full-width row blocks exceed VMEM (docs/ROADMAP.md). Each
+    block stages a P+256-lane window from the 128-aligned clipped
+    offset s = clip(p*P - 128, 0, nyp - (P+256)); the window's 128-lane
+    side halos supply the pull stencil's neighbor lanes, and only the
+    panel's own P lanes are stored back (three pl.when-selected static
+    slices, since the clip makes the panel sit at window offset 0 / 128
+    / 256 for the first / middle / last panels). The periodic y wrap is
+    still carried by the mirror pad lanes at the lattice edges, but the
+    in-kernel pad re-mirror is impossible per panel (it needs the
+    opposite lattice edge) — the runner re-mirrors between passes with
+    two narrow XLA updates instead, and the refresh-flag input is
+    ignored. Forcing switches to a dynamic-lane-offset form (the static
+    lane-concat patch assumes panel-invariant lane identity).
 
     temporal=T fuses T timesteps into one HBM pass (temporal blocking):
     the block stages rows [r0-T, r0+br+T) and advances them T steps
@@ -251,6 +268,18 @@ def _make_kernel(
         raise ValueError("region only applies to the masked variant")
     if region is not None and external_halo:
         raise ValueError("region segments are a local-path optimization")
+    if panels > 1:
+        if external_halo or rdma or region is not None or has_slip is None:
+            raise ValueError("panels: local path only")
+        if (start, length) != (0, n_blocks):
+            raise ValueError("panels: full block grid only")
+        if nyp % panels or (nyp // panels) % LANE:
+            raise ValueError(f"panels={panels} must cut nyp={nyp} at 128-lane bounds")
+        if nyp // panels + 2 * LANE > nyp:
+            raise ValueError("panels: need at least ~2 panels' worth of lanes")
+    # panel window width: the staged lane extent per block
+    PW = nyp if panels == 1 else nyp // panels + 2 * LANE
+    PP = nyp // panels  # lanes stored per panel
     storage = dtype
     if np.dtype(storage) == np.dtype("bfloat16"):
         dtype = np.float32  # compute precision
@@ -313,7 +342,20 @@ def _make_kernel(
             rfl_ref, out_ref, fbody, wbody, sems = rest
         else:
             rfl_ref, out_ref, fbody, sems = rest
-        i = pl.program_id(0)
+        if panels == 1:
+            i = pl.program_id(0)
+            s_off = None
+        else:
+            pnl = pl.program_id(0)
+            i = pl.program_id(1)
+            # 128-aligned clipped window start: panel p's lanes sit at
+            # window offset 0 (first), 128 (middle), 256 (last panel).
+            # The x128 is the OUTERMOST op so Mosaic's divisibility
+            # prover accepts the dynamic DMA lane index ("failed to
+            # prove a tile index divisible by the tiling" otherwise).
+            s_off = jnp.int32(LANE) * jnp.clip(
+                pnl * jnp.int32(PP // LANE) - 1, 0, jnp.int32((nyp - PW) // LANE)
+            )
         do_refresh = rfl_ref[0] != 0
 
         if rdma:
@@ -403,6 +445,10 @@ def _make_kernel(
             refresh_interval() passes — the caller's flag gates it."""
             if "remirror" in ablate:  # perf-lab/compile probe
                 return
+            if panels > 1:
+                # a panel window cannot see the opposite lattice edge;
+                # the runner re-mirrors between passes instead
+                return
 
             @pl.when(do_refresh)
             def _():
@@ -441,9 +487,10 @@ def _make_kernel(
                 blk = _rem(k + (start + n_blocks - 1), n_blocks)
             slot = _rem(k, SLOTS)
             r0 = blk * jnp.int32(br)
+            lane_sl = slice(None) if panels == 1 else pl.ds(s_off, PW)
             out = [
                 pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds(r0, br), :],
+                    f_hbm.at[:, pl.ds(r0, br), lane_sl],
                     fbody.at[slot],
                     sems.at[slot, 0],
                 )
@@ -451,7 +498,7 @@ def _make_kernel(
             if wbody is not None:
                 out.append(
                     pltpu.make_async_copy(
-                        walls_hbm.at[pl.ds(r0, br), :],
+                        walls_hbm.at[pl.ds(r0, br), lane_sl],
                         wbody.at[slot],
                         sems.at[slot, 1],
                     )
@@ -524,6 +571,33 @@ def _make_kernel(
         # have more.
         force_lanes = [j for j in range(nyp) if (j - lpad) % ny == 0]
         force_blocks = sorted({j // LANE * LANE for j in force_lanes})
+        # floor-mod bias: makes (x + bias) nonnegative for every window
+        # lane of every panel before lax.rem (which truncates toward 0)
+        _mod_bias = ny * ((lpad + 2 * LANE) // ny + 2)
+
+        def forced_dyn(planes, wall):
+            """Panel form of `forced`: the window's lattice-lane origin
+            s_off is a runtime scalar, so the forced lanes cannot be
+            static lane sub-blocks; the guard and the six updates run
+            full-window-width against an iota mask instead. Costs ~6
+            wide selects per sub-step — acceptable on the huge-lattice
+            path panels serve."""
+            r = planes[0].shape[0]
+            lane = s_off + jax.lax.broadcasted_iota(jnp.int32, (r, PW), 1)
+            ok = _rem(lane - jnp.int32(lpad) + jnp.int32(_mod_bias), ny) == 0
+            if wall is not None:
+                ok &= jnp.logical_not(wall)
+            ok = (
+                ok
+                & (planes[6] - a58 > zero)
+                & (planes[3] - a14 > zero)
+                & (planes[7] - a58 > zero)
+            )
+            out = list(planes)
+            for s, delta in ((6, -a58), (3, -a14), (7, -a58),
+                             (5, a58), (1, a14), (8, a58)):
+                out[s] = jnp.where(ok, planes[s] + delta, planes[s])
+            return out
 
         def forced(planes, wall):
             """Channel forcing on column j=0 (src/latticeboltzmann.c:
@@ -774,13 +848,18 @@ def _make_kernel(
             # row_shift: storage rows are a rotation of physical rows
             # (wall_partition); the geometry tests run in physical rows
             row0 = base + jnp.int32(row_shift) - jnp.int32(T) + jnp.int32(wrap_n)
-            rows = _rem(row0 + jax.lax.broadcasted_iota(jnp.int32, (R, nyp), 0), wrap_n)
-            # lane -> real column (multi-wrap periodic, matching pad_state)
+            rows = _rem(row0 + jax.lax.broadcasted_iota(jnp.int32, (R, PW), 0), wrap_n)
+            # lane -> real column (multi-wrap periodic, matching pad_state);
+            # panel windows add their runtime lattice-lane origin
             shift = (round_up(lpad, ny) - lpad) % ny
-            cols = _rem(
-                jax.lax.broadcasted_iota(jnp.int32, (R, nyp), 1) + jnp.int32(shift),
-                ny,
-            )
+            lane_idx = jax.lax.broadcasted_iota(jnp.int32, (R, PW), 1)
+            if panels > 1:
+                lane_idx = lane_idx + s_off + jnp.int32(_mod_bias - lpad)
+                # (same floor-mod bias trick as forced_dyn: lane - lpad
+                # stays nonnegative before the truncating rem)
+                cols = _rem(lane_idx, ny)
+            else:
+                cols = _rem(lane_idx + jnp.int32(shift), ny)
             wall = None
             for prim in wall_spec:
                 kind = prim[0]
@@ -803,7 +882,7 @@ def _make_kernel(
                     raise ValueError(f"unknown wall-spec primitive {kind!r}")
                 wall = w_ if wall is None else wall | w_
             if wall is None:  # empty spec: fully periodic fluid box
-                wall = jnp.zeros((R, nyp), jnp.bool_)
+                wall = jnp.zeros((R, PW), jnp.bool_)
 
         def evolve(ff, ww, cc, do_force: bool = True):
             """T fused steps on a (sub-)window: trims one invalid row
@@ -816,7 +895,7 @@ def _make_kernel(
             them, so skipping is exact there."""
             for _ in range(T):
                 if do_force and "force" not in ablate:
-                    ff = forced(ff, ww)
+                    ff = (forced_dyn if panels > 1 else forced)(ff, ww)
                 ff = stream_collide_window(ff, ww, cc)
                 if ww is not None:
                     ww = ww[1:-1]
@@ -830,8 +909,23 @@ def _make_kernel(
             ww = wall if masked else None
             cc = cls if masked else None
             ff = evolve(list(f), ww, cc)
-            for s in range(NSPEEDS):
-                out_ref[s, :, :] = ff[s].astype(storage)
+            if panels == 1:
+                for s in range(NSPEEDS):
+                    out_ref[s, :, :] = ff[s].astype(storage)
+                return
+            # store only the panel's own PP lanes: the clip puts them at
+            # window offset 0 / 128 / 256 for first / middle / last
+            offs = [(pnl == 0, 0), (pnl == jnp.int32(panels - 1), 2 * LANE)]
+            if panels > 2:
+                offs.append(
+                    ((pnl > 0) & (pnl < jnp.int32(panels - 1)), LANE)
+                )
+            for cond, off in offs:
+
+                @pl.when(cond)
+                def _(off=off):
+                    for s in range(NSPEEDS):
+                        out_ref[s, :, :] = ff[s][:, off : off + PP].astype(storage)
 
         def advance_region():
             """Free evolution plus masked recomputation of the wall
@@ -943,6 +1037,7 @@ def make_step(
     rdma: bool = False,
     axis: str = "x",
     region=None,
+    panels: int = 1,
 ):
     """Jittable padded-state half-step:
     (f_src, dst_donor, walls_padded_f32, [halos...], refresh) -> f_new,
@@ -982,16 +1077,19 @@ def make_step(
         )
     walls_dma = wall_spec is None
     if slots is None:
+        w_eff = nyp if panels == 1 else nyp // panels + 2 * LANE
         slots = (
             6
-            if _vmem_need(br, 6, nyp, itemsize, temporal, walls_dma) <= VMEM_BUDGET
+            if _vmem_need(br, 6, w_eff, itemsize, temporal, walls_dma) <= VMEM_BUDGET
             else 4
         )
     kernel = _make_kernel(
         cfg, nx, nyp, br, dtype, temporal, external_halo, slots, wall_spec, has_slip,
         ablate, lpad, start, length, wall_mode, row_shift, fast_math, rdma, axis,
-        region,
+        region, panels,
     )
+    PW = nyp if panels == 1 else nyp // panels + 2 * LANE
+    PP = nyp // panels
     n_blocks = nx // br
     if length is None:
         length = n_blocks
@@ -1032,6 +1130,8 @@ def make_step(
             jax.lax.rem(i + jnp.int32(1), jnp.int32(n_blocks)),
             0,
         )
+    elif panels > 1:
+        out_index = lambda p, i: (0, i, p)
     elif start == 0 and length == n_blocks:
         out_index = lambda i: (0, i, 0)
     elif start + length <= n_blocks:
@@ -1044,7 +1144,7 @@ def make_step(
         )
 
     out_shape = jax.ShapeDtypeStruct((NSPEEDS, nx, nyp), cfg.dtype)
-    out_specs = pl.BlockSpec((NSPEEDS, br, nyp), out_index, memory_space=pltpu.VMEM)
+    out_specs = pl.BlockSpec((NSPEEDS, br, PP), out_index, memory_space=pltpu.VMEM)
     if rdma:
         # comm buffers: the neighbors' remote DMAs land here. Outputs
         # (not scratch) so the buffers have symmetric addresses across
@@ -1059,20 +1159,20 @@ def make_step(
     step = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(length,),
+        grid=(length,) if panels == 1 else (panels, length),
         in_specs=in_specs,
         out_specs=out_specs,
         input_output_aliases={1: 0},
         scratch_shapes=(
-            [pltpu.VMEM((slots, NSPEEDS, br, nyp), cfg.dtype)]  # rotating body slots
-            + ([pltpu.VMEM((slots, br, nyp), jnp.float32)] if stage_walls else [])
+            [pltpu.VMEM((slots, NSPEEDS, br, PW), cfg.dtype)]  # rotating body slots
+            + ([pltpu.VMEM((slots, br, PW), jnp.float32)] if stage_walls else [])
             + [pltpu.SemaphoreType.DMA((slots, 2 if stage_walls else 1))]
             + ([pltpu.VMEM((2, NSPEEDS, HR, nyp), cfg.dtype),
                 pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
                if rdma else [])
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary",) * (2 if panels > 1 else 1),
             # raise the default 16MB scoped-vmem cap so larger row blocks
             # and deeper temporal windows fit (v5e has 128MB VMEM)
             vmem_limit_bytes=112 * 1024 * 1024,
@@ -1175,15 +1275,47 @@ def unpad_state(f_p, cfg: LatticeConfig, lpad: int, row_shift: int = 0):
 DEFAULT_TEMPORAL = 3
 
 
-def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma):
+def _pick_panels(nx: int, nyp: int, itemsize: int, walls_dma: bool):
+    """(block_rows, n_panels) for the 2-D lane-panel grid: the largest
+    row block whose panel window (nyp/n + 256 lanes) fits the VMEM
+    budget with 6 staging slots, at the fewest panels. (0, 1) when no
+    panel split helps."""
+    nlb = nyp // LANE
+    for br in (32, 40, 24):
+        if nx % br:
+            continue
+        for n in range(2, nlb + 1):
+            if nlb % n:
+                continue
+            pw = nyp // n + 2 * LANE
+            if pw > nyp:
+                continue
+            if _vmem_need(br, 6, pw, itemsize, 4, walls_dma) <= VMEM_BUDGET:
+                return br, n
+    return 0, 1
+
+
+def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma,
+          allow_panels: bool = True):
     """Shared launch planning for run_steps / run_steps_probed:
-    (nyp, lpad, br, temporal, row_shift, segs), or None to fall back to
-    the XLA engine (odd shapes, float64, degenerate widths)."""
+    (nyp, lpad, br, temporal, row_shift, segs, panels), or None to fall
+    back to the XLA engine (odd shapes, float64, degenerate widths)."""
     t0 = DEFAULT_TEMPORAL if temporal is None else temporal
     nyp, lpad = pick_layout(cfg.ny, max(t0, 1))
-    br = pick_block_config(
-        nx, nyp, np.dtype(cfg.dtype).itemsize, walls_dma=walls_dma
-    )[0]
+    itemsize = np.dtype(cfg.dtype).itemsize
+    br = pick_block_config(nx, nyp, itemsize, walls_dma=walls_dma)[0]
+    panels = 1
+    huge = 9 * nx * nyp * itemsize > 10**9
+    if allow_panels and br == 0:
+        # the 2-D lane-panel grid: a capability fallback for lattices so
+        # wide that NO full-width row block fits VMEM. It is not a perf
+        # win where both work (4000x16000 f32: 12.5k panel vs 15.7k
+        # single-launch — the 256 re-staged halo lanes per panel and the
+        # dynamic-offset forcing cost more than BR=32 recovers), so it
+        # only engages when the alternative is the XLA fallback.
+        br2, p2 = _pick_panels(nx, nyp, itemsize, walls_dma)
+        if p2 > 1 and br2 > 0:
+            br, panels = br2, p2
     if br == 0 or np.dtype(cfg.dtype) == np.float64 or cfg.ny < max(t0, 1):
         return None
     if temporal is None:
@@ -1198,21 +1330,20 @@ def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma):
             else DEFAULT_TEMPORAL,
             br,
         )
-    if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
+    if huge:
         # huge lattices (>1 GB/buffer): chained segment launches inside
         # the pair loop hold unaliased full-lattice temporaries and
         # exhaust HBM — measured at 4000x16000 f32 (2.32 GB/buffer):
         # the 3-launch region partition, the maximally-merged 2-launch
         # partition, AND 2-launch + donated pad_state (2.3 GB freed)
         # all ResourceExhausted the chip; only the single full-grid
-        # masked launch fits. Per-block wall specialization at this
-        # scale needs the 2-D lane-panel grid (docs/ROADMAP.md).
+        # masked launch fits (optionally as the lane-panel grid above).
         row_shift, segs = 0, ((0, None, True, None),)
     else:
         row_shift, segs = wall_partition_regions(
             np.asarray(mask), br, temporal, cfg.ny, nyp, lpad
         )
-    return nyp, lpad, br, temporal, row_shift, segs
+    return nyp, lpad, br, temporal, row_shift, segs, panels
 
 
 def _segs_at(cfg: LatticeConfig, nx: int, mask, br: int, temporal: int,
@@ -1448,7 +1579,7 @@ def wall_partition_regions(
 
 
 def _make_pass(cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip,
-               lpad, segs, row_shift=0, fast_math=False):
+               lpad, segs, row_shift=0, fast_math=False, panels=1):
     """One full kernel pass (temporal steps) as a chain of segment
     launches: each writes its circular block run into the shared aliased
     donor buffer, so the chain composes the whole lattice update. Each
@@ -1458,7 +1589,7 @@ def _make_pass(cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip,
             cfg, nx, nyp, br, interpret, temporal, wall_spec=wall_spec,
             has_slip=has_slip, lpad=lpad, start=seg[0], length=seg[1],
             wall_mode=seg[2], row_shift=row_shift, fast_math=fast_math,
-            region=seg[3] if len(seg) > 3 else None,
+            region=seg[3] if len(seg) > 3 else None, panels=panels,
         )
         for seg in segs
     )
@@ -1485,38 +1616,230 @@ def _make_runner(
     segs=((0, None, True),),
     row_shift: int = 0,
     fast_math: bool = False,
+    panels: int = 1,
 ):
     """One persistent jitted runner per configuration: advances
     2*temporal*n_pairs steps with a dynamic pair count (fori_loop), so
     changing the step count never recompiles. Every refresh_interval()
-    passes the kernel re-mirrors the pad lanes (see pick_layout)."""
+    passes the kernel re-mirrors the pad lanes (see pick_layout); with
+    panels > 1 the kernel cannot (a panel window never sees the
+    opposite lattice edge), so the runner re-mirrors between passes
+    with two narrow XLA updates in a nested super-step loop."""
     one_pass = _make_pass(
         cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip, lpad, segs,
-        row_shift, fast_math,
+        row_shift, fast_math, panels,
     )
     K = refresh_interval(lpad, nyp - lpad - cfg.ny, cfg.ny, temporal)
 
+    if panels == 1:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def runner(f_p, walls_p, n_pairs):
+            # the ping-pong scratch is created INSIDE the jit: passing a
+            # fresh jnp.zeros_like from the caller made it a donated input
+            # XLA could not always alias, emitting a "donated buffers were
+            # not usable" warning (one full-lattice copy) on every call
+            scratch = jnp.zeros_like(f_p)
+
+            def body(it, carry):
+                a, b = carry
+                p0 = 2 * jnp.asarray(it, jnp.int32)
+                b = one_pass(a, b, walls_p,
+                             _flag(jax.lax.rem(p0, jnp.int32(K)) == 0))
+                a = one_pass(b, a, walls_p,
+                             _flag(jax.lax.rem(p0 + 1, jnp.int32(K)) == 0))
+                return (a, b)
+
+            a, b = jax.lax.fori_loop(0, n_pairs, body, (f_p, scratch))
+            return a, b, _checksum(a)
+
+        return runner
+
+    remirror = _make_remirror_xla(cfg, nyp, lpad)
+    off = _flag(False)  # the panel kernel ignores the refresh flag
+    ppr = max(1, K // 2)  # pairs per remirror: 2*ppr passes <= K
+
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def runner(f_p, walls_p, n_pairs):
-        # the ping-pong scratch is created INSIDE the jit: passing a
-        # fresh jnp.zeros_like from the caller made it a donated input
-        # XLA could not always alias, emitting a "donated buffers were
-        # not usable" warning (one full-lattice copy) on every call
+    def panel_runner(f_p, walls_p, n_pairs):
         scratch = jnp.zeros_like(f_p)
 
-        def body(it, carry):
+        def inner(_, c):
+            x, y = c
+            y = one_pass(x, y, walls_p, off)
+            x = one_pass(y, x, walls_p, off)
+            return (x, y)
+
+        def outer(o, carry):
             a, b = carry
-            p0 = 2 * jnp.asarray(it, jnp.int32)
-            b = one_pass(a, b, walls_p,
-                         _flag(jax.lax.rem(p0, jnp.int32(K)) == 0))
-            a = one_pass(b, a, walls_p,
-                         _flag(jax.lax.rem(p0 + 1, jnp.int32(K)) == 0))
-            return (a, b)
+            a = remirror(a)
+            todo = jnp.minimum(jnp.int32(ppr), n_pairs - o * jnp.int32(ppr))
+            return jax.lax.fori_loop(0, todo, inner, (a, b))
 
-        a, b = jax.lax.fori_loop(0, n_pairs, body, (f_p, scratch))
-        return a, b
+        n_outer = (n_pairs + jnp.int32(ppr) - 1) // jnp.int32(ppr)
+        a, b = jax.lax.fori_loop(0, n_outer, outer, (f_p, scratch))
+        return a, b, _checksum(a)
 
-    return runner
+    return panel_runner
+
+
+def _checksum(a):
+    """Tiny fused reduce returned alongside the state: fetching it is
+    the completion barrier (block_until_ready can return early through
+    tunneled runtimes), with no separate reduce dispatch per run call."""
+    return jnp.sum(a[0, 0, :8].astype(jnp.float32))
+
+
+def _make_remirror_xla(cfg: LatticeConfig, nyp: int, lpad: int):
+    """Pad re-mirror as two narrow in-place XLA updates (the between-
+    pass form used with lane panels): lanes [0, lpad) <- [ny, ny+lpad),
+    lanes [lpad+ny, nyp) <- [lpad, lpad+rpad). Touches only the pad
+    lanes, so the cost is ~(lpad+rpad)/nyp of a full pass."""
+    ny = cfg.ny
+    rpad = nyp - lpad - ny
+
+    def remirror(x):
+        if lpad:
+            x = jax.lax.dynamic_update_slice(
+                x, x[:, :, ny : ny + lpad], (0, 0, 0)
+            )
+        if rpad:
+            x = jax.lax.dynamic_update_slice(
+                x, x[:, :, lpad : lpad + rpad], (0, 0, lpad + ny)
+            )
+        return x
+
+    return remirror
+
+
+class Session:
+    """Persistent launch state for one lattice configuration: the plan
+    (one host mask fetch for wall partitioning), the padded walls, and
+    the jitted runners are built once; each advance() is then a single
+    runner dispatch whose returned checksum doubles as the completion
+    barrier.
+
+    This is the tunnel-facing fix for fixed per-call cost: the stateless
+    run_steps() re-plans, re-pads, and re-unpads on every call — ~4
+    host round-trips plus a full mask fetch, ~0.2-0.3 s through the
+    tunneled chip regardless of step count. bench.py round 2 measured
+    that as the gap between the slope rate (~160 us/step) and the
+    end-to-end rate; the reference has no per-call cost at all (one
+    long in-process loop, src/latticeboltzmann.c:148-164).
+
+    Usage:
+        sess = Session(cfg, walls, wall_spec=spec)
+        if sess.plan is None: ...  # caller falls back to the XLA engine
+        sess.load(f)               # pad into the mirror-lane layout
+        sess.advance(n)            # one dispatch each
+        sess.block()               # fetch the checksum (completion)
+        f = sess.state()           # unpad (non-destructive)
+    """
+
+    def __init__(
+        self,
+        cfg: LatticeConfig,
+        walls,
+        *,
+        interpret: bool = False,
+        temporal: int | None = None,
+        wall_spec=None,
+        slip_x=None,
+        slip_y=None,
+        fast_math: bool = False,
+        panels: int | None = None,
+    ):
+        has_slip = slip_x is not None or slip_y is not None
+        if has_slip:
+            wall_spec = None  # slip masks are arbitrary; DMA the class plane
+        self.cfg = cfg
+        self.nx = walls.shape[0]
+        self.interpret = interpret
+        self.wall_spec = wall_spec
+        self.has_slip = has_slip
+        self.fast_math = fast_math
+        self.mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
+        self.plan = _plan(
+            cfg, self.nx, self.mask, temporal, interpret, wall_spec is None
+        )
+        self._f_p = None
+        self._chk = None
+        if self.plan is None:
+            # odd shapes, float64 (software-emulated on TPU — a
+            # correctness config, not a perf config; SURVEY.md section 7
+            # 'hard parts'), degenerate widths: caller routes to XLA
+            return
+        nyp, lpad, br, temporal, row_shift, segs, n_panels = self.plan
+        if panels is not None:
+            n_panels = panels
+            if n_panels > 1:
+                row_shift, segs = 0, ((0, None, True, None),)
+        self.nyp, self.lpad, self.br = nyp, lpad, br
+        self.temporal, self.row_shift = temporal, row_shift
+        self.segs, self.panels = segs, n_panels
+        self._segs1 = None  # T=1 re-partition for remainder passes (lazy)
+        self._walls_p = None
+        self._runner = _make_runner(
+            cfg, self.nx, nyp, br, interpret, temporal, wall_spec, has_slip,
+            lpad, segs, row_shift, fast_math, n_panels,
+        )
+
+    def load(self, f) -> None:
+        """Pad unpadded state into the session (donates f's buffer)."""
+        self._f_p, walls_p = _pad_state_donated(
+            f, self.mask, self.cfg, self.nyp, self.lpad, self.row_shift
+        )
+        if self._walls_p is None:
+            self._walls_p = walls_p
+        self._chk = None
+
+    @property
+    def loaded(self) -> bool:
+        return self._f_p is not None
+
+    def advance(self, n_steps: int) -> None:
+        """Advance the padded state n_steps: one runner dispatch, plus
+        one statically-unrolled remainder dispatch when n_steps is not
+        a multiple of 2*temporal."""
+        if n_steps <= 0:
+            return
+        n_pairs = n_steps // (2 * self.temporal)
+        rem = n_steps % (2 * self.temporal)
+        a, b, chk = self._runner(self._f_p, self._walls_p, n_pairs)
+        self._f_p = None  # donated: dead name until reassigned
+        if rem:
+            if self._segs1 is None:
+                self._segs1 = (
+                    self.segs if self.temporal == 1 or self.panels > 1
+                    else _segs_at(self.cfg, self.nx, self.mask, self.br, 1,
+                                  self.nyp, self.lpad, self.row_shift)
+                )
+            rem_runner = _make_rem_runner(
+                self.cfg, self.nx, self.nyp, self.br, self.interpret, rem,
+                self.wall_spec, self.has_slip, self.lpad, self._segs1,
+                self.row_shift, self.fast_math, self.panels,
+            )
+            a, chk = rem_runner(a, b, self._walls_p)
+        # never retain the dead scratch: at 4000x16000 each buffer is
+        # 2.3 GB and a third live buffer OOMs the chip during unpad
+        del b
+        self._f_p, self._chk = a, chk
+
+    def block(self) -> float:
+        """Completion barrier: fetch the runner's fused checksum (see
+        _checksum — block_until_ready alone can return early through
+        tunneled runtimes)."""
+        return 0.0 if self._chk is None else float(self._chk)
+
+    def state(self):
+        """Current state, unpadded (non-destructive; session keeps the
+        padded buffers for further advance() calls)."""
+        return unpad_state(self._f_p, self.cfg, self.lpad, self.row_shift)
+
+    def unload(self):
+        """Unpad and release the padded state (frees the scratch first —
+        the big-lattice memory discipline run_steps always had)."""
+        out = self.state()
+        self._f_p = self._chk = None
+        return out
 
 
 def run_steps(
@@ -1531,8 +1854,17 @@ def run_steps(
     slip_x=None,
     slip_y=None,
     fast_math: bool = False,
+    panels: int | None = None,
 ):
-    """Simulation-backend adapter: unpadded in, unpadded out.
+    """Simulation-backend adapter: unpadded in, unpadded out — the
+    stateless one-shot form of Session (which long-lived callers like
+    the Simulation facade keep across calls to amortize the per-call
+    plan/pad/unpad cost).
+
+    panels overrides the planner's lane-panel count (the 2-D grid is
+    auto-selected only when no full-width row block fits VMEM — a
+    capability fallback, not a perf path; tests force it on small
+    lattices).
 
     fast_math=True substitutes the hardware approximate reciprocal for
     1/rho (max rel err 1.6e-5 on v5e) — the analog of the reference's
@@ -1541,54 +1873,26 @@ def run_steps(
     SLOWER (it breaks a Mosaic fusion around the moments), so IEEE
     division wins on both accuracy and speed today.
 
-    Each loop iteration advances two kernel passes (A->B then B->A, each
-    `temporal` timesteps) with fixed buffer roles, exactly the
-    reference's DoTimeStep structure (src/latticeboltzmann.c:186-210) —
-    here it keeps XLA's while-loop buffer assignment stable so the
-    aliased pallas outputs stay zero-copy. Remainder steps run as
-    statically-unrolled single-step passes.
+    Each runner loop iteration advances two kernel passes (A->B then
+    B->A, each `temporal` timesteps) with fixed buffer roles, exactly
+    the reference's DoTimeStep structure (src/latticeboltzmann.c:
+    186-210) — here it keeps XLA's while-loop buffer assignment stable
+    so the aliased pallas outputs stay zero-copy. Remainder steps run
+    as statically-unrolled single-step passes.
     """
-    has_slip = slip_x is not None or slip_y is not None
-    if has_slip:
-        wall_spec = None  # slip masks are arbitrary; DMA the class plane
-    nx = f.shape[1]
-    mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
-    plan = _plan(cfg, nx, mask, temporal, interpret, wall_spec is None)
-    if plan is None:
-        # odd shapes, float64 (software-emulated on TPU — a correctness
-        # config, not a perf config; SURVEY.md section 7 'hard parts'),
-        # and degenerate widths route to the XLA engine
+    sess = Session(
+        cfg, walls, interpret=interpret, temporal=temporal,
+        wall_spec=wall_spec, slip_x=slip_x, slip_y=slip_y,
+        fast_math=fast_math, panels=panels,
+    )
+    if sess.plan is None:
         from . import stream_collide
 
         return stream_collide.run_steps(f, walls, cfg, n_steps, slip_x, slip_y)
-    nyp, lpad, br, temporal, row_shift, segs = plan
-    f_p, walls_p = _pad_state_donated(f, mask, cfg, nyp, lpad, row_shift)
+    sess.load(f)
     del f  # the unpadded buffer is donated: dead from here on
-    runner = _make_runner(
-        cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip, lpad, segs,
-        row_shift, fast_math,
-    )
-
-    n_pairs = n_steps // (2 * temporal)
-    a, b = runner(f_p, walls_p, n_pairs)
-    rem = n_steps % (2 * temporal)
-    if rem:
-        segs1 = (
-            segs if temporal == 1
-            else _segs_at(cfg, nx, mask, br, 1, nyp, lpad, row_shift)
-        )
-        rem_runner = _make_rem_runner(
-            cfg, nx, nyp, br, interpret, rem, wall_spec, has_slip, lpad, segs1,
-            row_shift, fast_math,
-        )
-        a = rem_runner(a, b, walls_p)
-    else:
-        # free the dead scratch buffer before the un-rotation gather —
-        # at 4000x16000 each buffer is 2.3 GB and keeping it live OOMs
-        # the chip during unpad_state
-        b = None
-    del f_p
-    return unpad_state(a, cfg, lpad, row_shift)
+    sess.advance(n_steps)
+    return sess.unload()
 
 
 @functools.lru_cache(maxsize=64)
@@ -1690,13 +1994,14 @@ def run_steps_probed(
         wall_spec = None
     nx = f.shape[1]
     mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
-    plan = _plan(cfg, nx, mask, None, interpret, wall_spec is None)
+    plan = _plan(cfg, nx, mask, None, interpret, wall_spec is None,
+                 allow_panels=False)
     if plan is None:
         fout, series = stream_collide.run_steps_probed(
             f, walls, cfg, n_steps, probes, slip_x, slip_y
         )
         return fout, series[every - 1 :: every]
-    nyp, lpad, br, temporal, row_shift, segs = plan
+    nyp, lpad, br, temporal, row_shift, segs, _ = plan
     if every % (2 * temporal) != 0 and temporal != 1:
         # the probed runner falls back to T=1 passes (see
         # _make_probed_runner); regions anchor to the window height
@@ -1729,17 +2034,23 @@ def _make_rem_runner(
     segs=((0, None, True),),
     row_shift: int = 0,
     fast_math: bool = False,
+    panels: int = 1,
 ):
     one_pass = _make_pass(
         cfg, nx, nyp, br, interpret, 1, wall_spec, has_slip, lpad, segs,
-        row_shift, fast_math,
+        row_shift, fast_math, panels,
     )
-    on = _flag(True)  # few passes: re-mirror pads every pass
+    # few passes: re-mirror pads every pass (in-kernel), or once up
+    # front via the XLA form when the kernel cannot (panels)
+    on = _flag(panels == 1)
+    remirror = _make_remirror_xla(cfg, nyp, lpad) if panels > 1 else None
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def rem_runner(a, b, walls_p):
+        if remirror is not None:
+            a = remirror(a)
         for _ in range(rem):
             a, b = one_pass(a, b, walls_p, on), a
-        return a
+        return a, _checksum(a)
 
     return rem_runner

@@ -222,11 +222,13 @@ def reynolds(
     within a short run (momentum spreads at ~the lattice sound speed),
     so validation probes a developed column instead.
 
-    Accumulates in at least float32 regardless of the storage dtype:
-    the bf16 mean-u_y reduction underflowed to exactly 0.0 on the
-    4000x16000 config (u_y ~ 1e-5 against an 8-bit mantissa) — a
-    diagnostics-precision artifact, not physics; the reference has no
-    low-precision analog to pin this to."""
+    Accumulates in at least float32 regardless of the storage dtype so
+    the reduction itself never loses the signal. Note the bf16
+    4000x16000 row still reads exactly 0.0 at ny/2 even in f32: the
+    *stored state* at an unreached column is bitwise rest equilibrium
+    at bf16 resolution (u_y ~ 1e-6 rounds into the 8-bit mantissa of
+    f ~ 0.04), so zero is the true value of the stored field there —
+    probe a developed column instead (bench_suite does)."""
     j = int(cfg.ny / 2.0) if col is None else col
     dt = jnp.promote_types(f.dtype, jnp.float32)
     col_f = f[:, :, j].astype(dt)

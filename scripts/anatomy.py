@@ -332,8 +332,8 @@ def production(n_steps, temporal=4, dtype="float32", segs=None, use_spec=True,
         cfg, NX, nyp, br, False, temporal, spec, False, lpad, segs, row_shift
     )
 
-    def call(n):  # runner donates: hand it fresh buffers each call
-        return runner(f_p + 0, jnp.zeros_like(f_p), walls_p, n)[0]
+    def call(n):  # runner donates: hand it a fresh buffer each call
+        return runner(f_p + 0, walls_p, n)[0]
 
     n_pairs = max(n_steps // (2 * temporal), 2)
     dt = timed_slope(call, n_pairs, 2 * n_pairs, steps_per_n=2 * temporal)

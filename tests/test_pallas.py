@@ -441,3 +441,43 @@ def test_refresh_interval_bounds():
     assert refresh_interval(48, 48, 4000, 4) == 11
     assert refresh_interval(4, 4, 4000, 4) == 1     # never below 1
     assert refresh_interval(54, 54, 40, 1) == 39    # capped by ny
+
+
+@pytest.mark.parametrize("n_steps", [6, 7])
+def test_lane_panel_grid_matches_xla(n_steps):
+    """The 2-D lane-panel grid (capability fallback for lattices whose
+    full-width row blocks exceed VMEM) forced onto a small lattice:
+    ny=640 pads to nyp=768, panels=3 gives 256-lane panels staged as
+    512-lane windows at clipped offsets 0/128/256 — first, middle, and
+    last panel variants all exercised, with the barrier crossing the
+    panel-0/1 lane boundary and forcing in panel 0. n_steps=7 also runs
+    the panel remainder pass."""
+    from latticeboltzmann_tpu.ops import stream_collide
+
+    cfg = LatticeConfig(nx=24, ny=640, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    walls[8:14, 180:260] = True  # spans real cols mapping across lane 256
+    f0 = initial_state(cfg)
+    nyp, lpad = fk.pick_layout(cfg.ny, 1)
+    assert (nyp, lpad) == (768, 64)
+    out = np.asarray(
+        fk.run_steps(
+            jnp.asarray(f0), jnp.asarray(walls), cfg, n_steps,
+            interpret=True, panels=3,
+        )
+    )
+    ref = np.asarray(
+        stream_collide.run_steps(jnp.asarray(f0), jnp.asarray(walls), cfg, n_steps)
+    )
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
+
+
+def test_panels_auto_select_is_fallback_only():
+    """Panels engage only when no full-width row block fits VMEM: the
+    4000x16000 plan (BR=16 single-launch fits) must stay at panels=1."""
+    itemsize = 4
+    nyp, _ = fk.pick_layout(16000, 2)
+    assert fk.pick_block_config(4000, nyp, itemsize, walls_dma=False)[0] > 0
+    cfg = LatticeConfig(nx=4000, ny=16000, dtype=np.float32)
+    plan = fk._plan(cfg, 4000, None, None, False, False)
+    assert plan is not None and plan[6] == 1
