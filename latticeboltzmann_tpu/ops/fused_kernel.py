@@ -1617,23 +1617,65 @@ def _make_runner(
     row_shift: int = 0,
     fast_math: bool = False,
     panels: int = 1,
+    segs1=None,
 ):
     """One persistent jitted runner per configuration: advances
-    2*temporal*n_pairs steps with a dynamic pair count (fori_loop), so
-    changing the step count never recompiles. Every refresh_interval()
-    passes the kernel re-mirrors the pad lanes (see pick_layout); with
-    panels > 1 the kernel cannot (a panel window never sees the
-    opposite lattice edge), so the runner re-mirrors between passes
-    with two narrow XLA updates in a nested super-step loop."""
+    2*temporal*n_pairs + 2*k1 + odd steps with DYNAMIC counts
+    (fori_loop), so changing the step count never recompiles — the
+    remainder (n_steps mod 2*temporal) runs as k1 fixed-role T=1 pairs
+    plus at most one swapped-role single pass inside the same program.
+    A separate per-remainder compiled program would recompile through
+    the tunnel on the first run at each new step count — bench_suite
+    round 3 measured that as ~7 s of 'runtime' on an 8.5 s row.
+    segs1 is the T=1 segment partition for the remainder passes (select
+    regions anchor to the window height br + 2*T, see _segs_at); None
+    falls back to the always-correct single full-lattice launch.
+
+    Every refresh_interval() passes the kernel re-mirrors the pad lanes
+    (see pick_layout); with panels > 1 the kernel cannot (a panel
+    window never sees the opposite lattice edge), so the runner
+    re-mirrors between passes with two narrow XLA updates in a nested
+    super-step loop, and once before the remainder passes."""
     one_pass = _make_pass(
         cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip, lpad, segs,
         row_shift, fast_math, panels,
     )
+    if temporal == 1:
+        one_pass1 = one_pass
+    else:
+        one_pass1 = _make_pass(
+            cfg, nx, nyp, br, interpret, 1, wall_spec, has_slip, lpad,
+            segs1 if segs1 is not None else ((0, None, True, None),),
+            row_shift, fast_math, panels,
+        )
     K = refresh_interval(lpad, nyp - lpad - cfg.ny, cfg.ny, temporal)
+    remirror = _make_remirror_xla(cfg, nyp, lpad) if panels > 1 else None
+    # remainder passes re-mirror pads every pass (in-kernel), or once up
+    # front via the XLA form when the kernel cannot (panels): rem passes
+    # number at most 2*temporal - 1 <= K
+    on1 = _flag(panels == 1)
+
+    def _with_remainder(a, b, walls_p, k1, odd):
+        if remirror is not None:
+            a = remirror(a)
+
+        def pair1(_, c):
+            x, y = c
+            y2 = one_pass1(x, y, walls_p, on1)
+            x2 = one_pass1(y2, x, walls_p, on1)
+            return (x2, y2)
+
+        def single(_, c):
+            x, y = c
+            return (one_pass1(x, y, walls_p, on1), x)
+
+        a, b = jax.lax.fori_loop(0, k1, pair1, (a, b))
+        a, b = jax.lax.fori_loop(0, odd, single, (a, b))
+        return a, b
 
     if panels == 1:
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def runner(f_p, walls_p, n_pairs):
+        def runner(f_p, walls_p, n_pairs, k1, odd):
             # the ping-pong scratch is created INSIDE the jit: passing a
             # fresh jnp.zeros_like from the caller made it a donated input
             # XLA could not always alias, emitting a "donated buffers were
@@ -1650,16 +1692,16 @@ def _make_runner(
                 return (a, b)
 
             a, b = jax.lax.fori_loop(0, n_pairs, body, (f_p, scratch))
+            a, b = _with_remainder(a, b, walls_p, k1, odd)
             return a, b, _checksum(a)
 
         return runner
 
-    remirror = _make_remirror_xla(cfg, nyp, lpad)
     off = _flag(False)  # the panel kernel ignores the refresh flag
     ppr = max(1, K // 2)  # pairs per remirror: 2*ppr passes <= K
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def panel_runner(f_p, walls_p, n_pairs):
+    def panel_runner(f_p, walls_p, n_pairs, k1, odd):
         scratch = jnp.zeros_like(f_p)
 
         def inner(_, c):
@@ -1676,6 +1718,7 @@ def _make_runner(
 
         n_outer = (n_pairs + jnp.int32(ppr) - 1) // jnp.int32(ppr)
         a, b = jax.lax.fori_loop(0, n_outer, outer, (f_p, scratch))
+        a, b = _with_remainder(a, b, walls_p, k1, odd)
         return a, b, _checksum(a)
 
     return panel_runner
@@ -1775,11 +1818,16 @@ class Session:
         self.nyp, self.lpad, self.br = nyp, lpad, br
         self.temporal, self.row_shift = temporal, row_shift
         self.segs, self.panels = segs, n_panels
-        self._segs1 = None  # T=1 re-partition for remainder passes (lazy)
+        # T=1 re-partition for the in-runner remainder passes (select
+        # regions anchor to the window height br + 2*T)
+        segs1 = (
+            segs if temporal == 1 or n_panels > 1
+            else _segs_at(cfg, self.nx, self.mask, br, 1, nyp, lpad, row_shift)
+        )
         self._walls_p = None
         self._runner = _make_runner(
             cfg, self.nx, nyp, br, interpret, temporal, wall_spec, has_slip,
-            lpad, segs, row_shift, fast_math, n_panels,
+            lpad, segs, row_shift, fast_math, n_panels, segs1,
         )
 
     def load(self, f) -> None:
@@ -1796,28 +1844,17 @@ class Session:
         return self._f_p is not None
 
     def advance(self, n_steps: int) -> None:
-        """Advance the padded state n_steps: one runner dispatch, plus
-        one statically-unrolled remainder dispatch when n_steps is not
-        a multiple of 2*temporal."""
+        """Advance the padded state n_steps: ONE runner dispatch for any
+        step count (the remainder mod 2*temporal runs as dynamic T=1
+        loop counts inside the same compiled program — no per-remainder
+        recompiles)."""
         if n_steps <= 0:
             return
-        n_pairs = n_steps // (2 * self.temporal)
-        rem = n_steps % (2 * self.temporal)
-        a, b, chk = self._runner(self._f_p, self._walls_p, n_pairs)
+        n_pairs, rem = divmod(n_steps, 2 * self.temporal)
+        a, b, chk = self._runner(
+            self._f_p, self._walls_p, n_pairs, rem // 2, rem % 2
+        )
         self._f_p = None  # donated: dead name until reassigned
-        if rem:
-            if self._segs1 is None:
-                self._segs1 = (
-                    self.segs if self.temporal == 1 or self.panels > 1
-                    else _segs_at(self.cfg, self.nx, self.mask, self.br, 1,
-                                  self.nyp, self.lpad, self.row_shift)
-                )
-            rem_runner = _make_rem_runner(
-                self.cfg, self.nx, self.nyp, self.br, self.interpret, rem,
-                self.wall_spec, self.has_slip, self.lpad, self._segs1,
-                self.row_shift, self.fast_math, self.panels,
-            )
-            a, chk = rem_runner(a, b, self._walls_p)
         # never retain the dead scratch: at 4000x16000 each buffer is
         # 2.3 GB and a third live buffer OOMs the chip during unpad
         del b
@@ -2020,37 +2057,3 @@ def run_steps_probed(
     return unpad_state(fout_p, cfg, lpad, row_shift), series
 
 
-@functools.lru_cache(maxsize=64)
-def _make_rem_runner(
-    cfg: LatticeConfig,
-    nx: int,
-    nyp: int,
-    br: int,
-    interpret: bool,
-    rem: int,
-    wall_spec=None,
-    has_slip: bool = False,
-    lpad: int = 0,
-    segs=((0, None, True),),
-    row_shift: int = 0,
-    fast_math: bool = False,
-    panels: int = 1,
-):
-    one_pass = _make_pass(
-        cfg, nx, nyp, br, interpret, 1, wall_spec, has_slip, lpad, segs,
-        row_shift, fast_math, panels,
-    )
-    # few passes: re-mirror pads every pass (in-kernel), or once up
-    # front via the XLA form when the kernel cannot (panels)
-    on = _flag(panels == 1)
-    remirror = _make_remirror_xla(cfg, nyp, lpad) if panels > 1 else None
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def rem_runner(a, b, walls_p):
-        if remirror is not None:
-            a = remirror(a)
-        for _ in range(rem):
-            a, b = one_pass(a, b, walls_p, on), a
-        return a, _checksum(a)
-
-    return rem_runner

@@ -350,8 +350,14 @@ def make_pallas_run_steps(
 
         return one_pass
 
-    def _make_loop(rem: int):
-        def sharded_loop(f_l, walls_l, n_pairs):
+    def _make_loop():
+        def sharded_loop(f_l, walls_l, n_pairs, k1, odd):
+            # the remainder (n_steps mod 2T) runs as DYNAMIC T=1 loop
+            # counts inside this same program — k1 fixed-role pairs plus
+            # at most one swapped-role single pass — so changing the step
+            # count never recompiles the shard_map program (a
+            # per-remainder-class compile once executed inside a timed
+            # benchmark run through the tunnel: ~13 s of 'runtime')
             one_pass = _prelude(walls_l)
 
             def body(it, carry):
@@ -365,8 +371,19 @@ def make_pallas_run_steps(
 
             a, b = jax.lax.fori_loop(0, n_pairs, body, (f_l, jnp.zeros_like(f_l)))
             on = fk._flag(True)
-            for _ in range(rem):
-                a, b = one_pass(a, b, steps_1, 1, on), a
+
+            def pair1(_, c):
+                x, y = c
+                y2 = one_pass(x, y, steps_1, 1, on)
+                x2 = one_pass(y2, x, steps_1, 1, on)
+                return (x2, y2)
+
+            def single(_, c):
+                x, y = c
+                return (one_pass(x, y, steps_1, 1, on), x)
+
+            a, b = jax.lax.fori_loop(0, k1, pair1, (a, b))
+            a, b = jax.lax.fori_loop(0, odd, single, (a, b))
             return a
 
         return sharded_loop
@@ -428,28 +445,28 @@ def make_pallas_run_steps(
         return probed_loop
 
     @functools.lru_cache(maxsize=8)
-    def _jitted(rem: int):
+    def _jitted():
         @partial(jax.jit, donate_argnums=(0,))
-        def run(f, walls, n_pairs):
+        def run(f, walls, n_pairs, k1, odd):
             f_p, walls_p = fk.pad_state(f, walls, cfg, nyp, lpad)
             out = jax.shard_map(
-                _make_loop(rem),
+                _make_loop(),
                 mesh=mesh,
-                in_specs=(fspec, wspec, P()),
+                in_specs=(fspec, wspec, P(), P(), P()),
                 out_specs=fspec,
                 # pallas_call's ShapeDtypeStruct outputs carry no vma
                 # annotation, so shard_map's varying-axis check can't see
                 # through them
                 check_vma=False,
-            )(f_p, walls_p, n_pairs)
+            )(f_p, walls_p, n_pairs, k1, odd)
             return out[:, :, lpad : lpad + cfg.ny]
 
         return run
 
     def run_steps(f, walls, n_steps: int):
-        # dynamic pair count: changing n_steps only recompiles when the
-        # remainder class changes
-        return _jitted(n_steps % (2 * T))(f, walls, n_steps // (2 * T))
+        # all counts dynamic: changing n_steps never recompiles
+        q, rem = divmod(n_steps, 2 * T)
+        return _jitted()(f, walls, q, rem // 2, rem % 2)
 
     @functools.lru_cache(maxsize=8)
     def _jitted_probed(n_chunks: int, every: int):

@@ -333,7 +333,7 @@ def production(n_steps, temporal=4, dtype="float32", segs=None, use_spec=True,
     )
 
     def call(n):  # runner donates: hand it a fresh buffer each call
-        return runner(f_p + 0, walls_p, n)[0]
+        return runner(f_p + 0, walls_p, n, 0, 0)[0]
 
     n_pairs = max(n_steps // (2 * temporal), 2)
     dt = timed_slope(call, n_pairs, 2 * n_pairs, steps_per_n=2 * temporal)

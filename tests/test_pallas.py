@@ -326,7 +326,6 @@ def _forced_regions():
     fk.REGION_FIXED_COST = 0.0
     fk._make_runner.cache_clear()
     fk._make_probed_runner.cache_clear()
-    fk._make_rem_runner.cache_clear()
     fk.make_step.cache_clear()
     try:
         yield
@@ -335,7 +334,6 @@ def _forced_regions():
         fk.REGION_FIXED_COST = orig_fixed
         fk._make_runner.cache_clear()
         fk._make_probed_runner.cache_clear()
-        fk._make_rem_runner.cache_clear()
         fk.make_step.cache_clear()
 
 
