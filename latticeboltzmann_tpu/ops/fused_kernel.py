@@ -1305,7 +1305,6 @@ def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma,
     itemsize = np.dtype(cfg.dtype).itemsize
     br = pick_block_config(nx, nyp, itemsize, walls_dma=walls_dma)[0]
     panels = 1
-    huge = 9 * nx * nyp * itemsize > 10**9
     if allow_panels and br == 0:
         # the 2-D lane-panel grid: a capability fallback for lattices so
         # wide that NO full-width row block fits VMEM. It is not a perf
@@ -1330,14 +1329,14 @@ def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma,
             else DEFAULT_TEMPORAL,
             br,
         )
-    if huge:
-        # huge lattices (>1 GB/buffer): chained segment launches inside
-        # the pair loop hold unaliased full-lattice temporaries and
-        # exhaust HBM — measured at 4000x16000 f32 (2.32 GB/buffer):
-        # the 3-launch region partition, the maximally-merged 2-launch
-        # partition, AND 2-launch + donated pad_state (2.3 GB freed)
-        # all ResourceExhausted the chip; only the single full-grid
-        # masked launch fits (optionally as the lane-panel grid above).
+    # huge lattices (>1 GB/buffer) once had to opt out of segmentation:
+    # with pad/advance fused in one jit, the chained segment launches
+    # held unaliased full-lattice temporaries and ResourceExhausted the
+    # chip at 4000x16000 f32 (docs/TUNING.md round-3 notes). With the
+    # Session phase split (pad_state in its own dispatch; the runner jit
+    # holds only f_p + scratch) the 4-launch region partition fits and
+    # measures ~17.1k vs 15.7k MLUPS for the single masked launch.
+    if mask is None:  # plan-only probe (no geometry): one masked launch
         row_shift, segs = 0, ((0, None, True, None),)
     else:
         row_shift, segs = wall_partition_regions(
@@ -1618,6 +1617,7 @@ def _make_runner(
     fast_math: bool = False,
     panels: int = 1,
     segs1=None,
+    with_remainder: bool = True,
 ):
     """One persistent jitted runner per configuration: advances
     2*temporal*n_pairs + 2*k1 + odd steps with DYNAMIC counts
@@ -1631,6 +1631,11 @@ def _make_runner(
     regions anchor to the window height br + 2*T, see _segs_at); None
     falls back to the always-correct single full-lattice launch.
 
+    with_remainder=False omits the T=1 remainder machinery entirely
+    (k1/odd must then be zero — guarded in Session.advance): the T=1
+    pass program costs ~11 s of XLA CPU compile at test sizes, which a
+    one-shot caller with a static multiple-of-2T step count never uses.
+
     Every refresh_interval() passes the kernel re-mirrors the pad lanes
     (see pick_layout); with panels > 1 the kernel cannot (a panel
     window never sees the opposite lattice edge), so the runner
@@ -1640,7 +1645,9 @@ def _make_runner(
         cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip, lpad, segs,
         row_shift, fast_math, panels,
     )
-    if temporal == 1:
+    if not with_remainder:
+        one_pass1 = None
+    elif temporal == 1:
         one_pass1 = one_pass
     else:
         one_pass1 = _make_pass(
@@ -1656,6 +1663,8 @@ def _make_runner(
     on1 = _flag(panels == 1)
 
     def _with_remainder(a, b, walls_p, k1, odd):
+        if one_pass1 is None:
+            return a, b
         if remirror is not None:
             a = remirror(a)
 
@@ -1789,7 +1798,14 @@ class Session:
         slip_y=None,
         fast_math: bool = False,
         panels: int | None = None,
+        static_steps: int | None = None,
     ):
+        """static_steps: a one-shot caller (run_steps) that will only
+        ever advance() this exact count may pass it here; when it is a
+        multiple of 2*temporal the runner skips compiling the T=1
+        remainder program (~11 s of XLA CPU compile at test sizes).
+        Long-lived callers leave it None and get the fully dynamic
+        runner."""
         has_slip = slip_x is not None or slip_y is not None
         if has_slip:
             wall_spec = None  # slip masks are arbitrary; DMA the class plane
@@ -1818,16 +1834,21 @@ class Session:
         self.nyp, self.lpad, self.br = nyp, lpad, br
         self.temporal, self.row_shift = temporal, row_shift
         self.segs, self.panels = segs, n_panels
+        self._with_remainder = (
+            static_steps is None or static_steps % (2 * temporal) != 0
+        )
         # T=1 re-partition for the in-runner remainder passes (select
         # regions anchor to the window height br + 2*T)
         segs1 = (
-            segs if temporal == 1 or n_panels > 1
+            segs
+            if temporal == 1 or n_panels > 1 or not self._with_remainder
             else _segs_at(cfg, self.nx, self.mask, br, 1, nyp, lpad, row_shift)
         )
         self._walls_p = None
         self._runner = _make_runner(
             cfg, self.nx, nyp, br, interpret, temporal, wall_spec, has_slip,
             lpad, segs, row_shift, fast_math, n_panels, segs1,
+            self._with_remainder,
         )
 
     def load(self, f) -> None:
@@ -1851,6 +1872,21 @@ class Session:
         if n_steps <= 0:
             return
         n_pairs, rem = divmod(n_steps, 2 * self.temporal)
+        if rem and not self._with_remainder:
+            # a static_steps session asked for a count off its promised
+            # multiple: upgrade to the fully dynamic runner (lru-cached)
+            self._with_remainder = True
+            segs1 = (
+                self.segs if self.temporal == 1 or self.panels > 1
+                else _segs_at(self.cfg, self.nx, self.mask, self.br, 1,
+                              self.nyp, self.lpad, self.row_shift)
+            )
+            self._runner = _make_runner(
+                self.cfg, self.nx, self.nyp, self.br, self.interpret,
+                self.temporal, self.wall_spec, self.has_slip, self.lpad,
+                self.segs, self.row_shift, self.fast_math, self.panels,
+                segs1, True,
+            )
         a, b, chk = self._runner(
             self._f_p, self._walls_p, n_pairs, rem // 2, rem % 2
         )
@@ -1914,13 +1950,15 @@ def run_steps(
     B->A, each `temporal` timesteps) with fixed buffer roles, exactly
     the reference's DoTimeStep structure (src/latticeboltzmann.c:
     186-210) — here it keeps XLA's while-loop buffer assignment stable
-    so the aliased pallas outputs stay zero-copy. Remainder steps run
-    as statically-unrolled single-step passes.
+    so the aliased pallas outputs stay zero-copy. Remainder steps (when
+    n_steps is not a multiple of 2*temporal) run as dynamic T=1 loop
+    counts inside the same program; for exact multiples the T=1 program
+    is never even built (static_steps below).
     """
     sess = Session(
         cfg, walls, interpret=interpret, temporal=temporal,
         wall_spec=wall_spec, slip_x=slip_x, slip_y=slip_y,
-        fast_math=fast_math, panels=panels,
+        fast_math=fast_math, panels=panels, static_steps=n_steps,
     )
     if sess.plan is None:
         from . import stream_collide

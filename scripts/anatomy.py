@@ -326,10 +326,14 @@ def production(n_steps, temporal=4, dtype="float32", segs=None, use_spec=True,
         NX, nyp, np.dtype(dtype).itemsize, walls_dma=spec is None
     )[0]
     if segs is None:
-        row_shift, segs = fk.wall_partition(walls, br, temporal)
+        # the production partition (recompute regions), matching _plan
+        row_shift, segs = fk.wall_partition_regions(
+            np.asarray(walls), br, temporal, NY, nyp, lpad
+        )
     f_p, walls_p = fk.pad_state(f, walls, cfg, nyp, lpad, row_shift)
     runner = fk._make_runner(
-        cfg, NX, nyp, br, False, temporal, spec, False, lpad, segs, row_shift
+        cfg, NX, nyp, br, False, temporal, spec, False, lpad, segs, row_shift,
+        with_remainder=False,  # slope counts are exact multiples of 2T
     )
 
     def call(n):  # runner donates: hand it a fresh buffer each call

@@ -391,10 +391,12 @@ def test_region_equals_coarse_on_rough_state():
     coordinate slip (e.g. the ey=-1 lane roll taken modulo nyp instead
     of the window width, a real regression caught on hardware) produces
     O(1e-2) errors instead of hiding in near-uniform startup flow. The
-    tolerance is tight (1e-6 absolute after 8 steps) but not zero: XLA
+    tolerance is tight (1e-6 absolute after 12 steps) but not zero: XLA
     fuses the select-free and masked interpret graphs differently, so
     legitimate FMA-contraction noise of ~2e-8 appears on ~30% of
-    sites."""
+    sites. T=3 (the production f32 default) and a multiple-of-2T step
+    count keep this — the suite's most expensive compile — to two
+    programs on the 1-core CI container."""
     cfg = LatticeConfig(nx=96, ny=1152, dtype=np.float32)
     walls = np.zeros((cfg.nx, cfg.ny), bool)
     walls[0, :] = walls[-1, :] = True
@@ -406,11 +408,11 @@ def test_region_equals_coarse_on_rough_state():
     )
     w = jnp.asarray(walls)
     with _forced_regions():
-        nyp, lpad = fk.pick_layout(cfg.ny, 4)
-        _, segs = fk.wall_partition_regions(walls, 32, 4, cfg.ny, nyp, lpad)
+        nyp, lpad = fk.pick_layout(cfg.ny, 3)
+        _, segs = fk.wall_partition_regions(walls, 32, 3, cfg.ny, nyp, lpad)
         assert any(s[3] is not None for s in segs)
         out_region = np.asarray(
-            fk.run_steps(jnp.asarray(f0), w, cfg, 8, interpret=True, temporal=4)
+            fk.run_steps(jnp.asarray(f0), w, cfg, 12, interpret=True, temporal=3)
         )
 
     orig = fk.wall_partition_regions
@@ -424,7 +426,7 @@ def test_region_equals_coarse_on_rough_state():
     fk.make_step.cache_clear()
     try:
         out_coarse = np.asarray(
-            fk.run_steps(jnp.asarray(f0), w, cfg, 8, interpret=True, temporal=4)
+            fk.run_steps(jnp.asarray(f0), w, cfg, 12, interpret=True, temporal=3)
         )
     finally:
         fk.wall_partition_regions = orig
