@@ -30,6 +30,8 @@ CONFIGS = [
      None, "no reference datapoint at this size"),
     ("4000x16000 bf16-storage mixed precision", 4000, 16000, "bf16", "reference", "pallas",
      None, "no reference datapoint at this size"),
+    ("800x4000 bf16-storage (headline scene)", 800, 4000, "bf16", "reference", "pallas",
+     14.38, "AMD R9 280X OpenCL SP (README.md:90)"),
 ]
 
 

@@ -115,7 +115,9 @@ def mode_tpu(args):
 
     cfg = LatticeConfig(nx=400, ny=2000, dtype=np.float32)
     walls = geometry.reference_barrier(cfg.nx, cfg.ny)
-    steps = args.steps
+    # round to a multiple of 12 = lcm(2T) over the temporal defaults so
+    # no backend compiles its remainder program inside the timed run
+    steps = max(12, args.steps - args.steps % 12)
 
     print(f"device: {jax.devices()[0].device_kind}; lattice 400x2000 f32, {steps} steps")
     print()
@@ -123,7 +125,7 @@ def mode_tpu(args):
     print("|---|---|---|")
     rows = [
         ("pallas", "unsharded fused kernel"),
-        ("sharded-pallas", "8-way shard_map + ppermute halos, one chip"),
+        ("sharded-pallas", "shard_map + ppermute halos (1-device mesh here)"),
         ("sharded", "XLA engine, overlapped halo exchange"),
         ("sharded-sync", "XLA engine, exchange-then-compute"),
     ]
@@ -168,16 +170,23 @@ def mode_tpu(args):
     sim.run(64)
     jax.profiler.stop_trace()
     res2 = _perfetto_comm_fraction(trace_dir2)
-    if res2 is not None:
+    ov = _perfetto_overlap(trace_dir2)
+    if res2 is None or res2[0] < 50.0:  # <50 us: no real permute
+        print("\nsharded-pallas: no collective-permute events in the trace "
+              "— on a 1-device mesh the ppermute lowers to a local copy, "
+              "so there is nothing to overlap; the overlap evidence on one "
+              "chip is the dataflow itself (the interior-segment launch "
+              "takes no halo inputs; parallel/sharded.py _trio) plus the "
+              "XLA backend's measured overlap above.")
+    else:
         comm, total, _ = res2
         print(f"\nsharded-pallas: permute time {comm/1e3:.2f} ms of "
               f"{total/1e3:.2f} ms = {100*comm/max(total,1e-9):.1f}%")
-    ov = _perfetto_overlap(trace_dir2)
-    if ov is not None:
-        p_tot, p_ov = ov
-        print(f"sharded-pallas: {100*p_ov/max(p_tot,1e-9):.1f}% of permute "
-              f"time overlapped with kernel compute "
-              f"(reference overlap mode: README.md:45-51)")
+        if ov is not None:
+            p_tot, p_ov = ov
+            print(f"sharded-pallas: {100*p_ov/max(p_tot,1e-9):.1f}% of permute "
+                  f"time overlapped with kernel compute "
+                  f"(reference overlap mode: README.md:45-51)")
 
 
 def _perfetto_overlap(trace_dir):
@@ -217,7 +226,7 @@ def _perfetto_overlap(trace_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["cpu", "tpu"], required=True)
-    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--trace-dir", default="/tmp/lbm_trace")
     ap.add_argument("--_reexeced", action="store_true")
     args = ap.parse_args()
