@@ -174,8 +174,10 @@ class Simulation:
         # call pays ~0.2-0.3 s of re-plan/re-pad overhead through a
         # tunneled chip (the round-2 slope-vs-e2e gap in bench.py).
         self._session = None
+        self._f_leaked = False
         f_init = initial_state(cfg) if f0 is None else np.asarray(f0, np.dtype(cfg.dtype))
         self.f = jnp.asarray(f_init)
+        self._f_leaked = False  # the fresh initial buffer is ours alone
         self.steps_done = 0
         self.elapsed = 0.0
 
@@ -184,14 +186,22 @@ class Simulation:
         """Current state, unpadded. When the pallas session holds the
         live (padded) state, reading materializes an unpadded snapshot
         lazily; writing replaces the state and invalidates the session's
-        copy (the plan and compiled runners are kept)."""
+        copy (the plan and compiled runners are kept).
+
+        A reference obtained here (or assigned via the setter) stays
+        valid across run(): the pallas path donates its input buffer to
+        the kernel chain, so run() defensively copies the state first
+        whenever a reference may be held outside the Simulation."""
         if self._f is None and self._session is not None and self._session.loaded:
             self._f = self._session.state()
+            self._f_leaked = False
+        self._f_leaked = self._f is not None or self._f_leaked
         return self._f
 
     @f.setter
     def f(self, value):
         self._f = value
+        self._f_leaked = value is not None  # caller may still hold it
         if self._session is not None and value is not None:
             self._session._f_p = self._session._chk = None
 
@@ -214,6 +224,20 @@ class Simulation:
             )
         return self._session if self._session.plan is not None else None
 
+    def _backend_kwargs(self) -> dict:
+        """Optional kwargs (wall_spec / slip masks / fast_math) for the
+        stateless backend callables, assembled in one place so a new
+        option cannot silently miss one of the call sites."""
+        kwargs = {}
+        if self.wall_spec is not None:
+            kwargs["wall_spec"] = self.wall_spec
+        if self.slip_x is not None or self.slip_y is not None:
+            kwargs["slip_x"] = self.slip_x
+            kwargs["slip_y"] = self.slip_y
+        if self.fast_math and self.backend in _FASTMATH_BACKENDS:
+            kwargs["fast_math"] = True
+        return kwargs
+
     def run(self, n_steps: int, *, block: bool = True) -> "Simulation":
         """Advance n_steps on device. The first call per configuration
         includes jit compilation in `elapsed`; benchmarks warm up first
@@ -222,21 +246,21 @@ class Simulation:
         sess = self._pallas_session()
         if sess is not None:
             if not sess.loaded:
-                sess.load(self._f)
+                src = self._f
+                if self._f_leaked:
+                    # Session.load donates the buffer; never invalidate
+                    # an array a caller may still hold (see the f docs)
+                    src = jnp.array(src, copy=True)
+                sess.load(src)
             self._f = None  # live state now resides padded in the session
+            self._f_leaked = False
             sess.advance(n_steps)
             if block:
                 sess.block()  # fetch the runner's fused checksum
         else:
-            kwargs = {}
-            if self.wall_spec is not None:
-                kwargs["wall_spec"] = self.wall_spec
-            if self.slip_x is not None or self.slip_y is not None:
-                kwargs["slip_x"] = self.slip_x
-                kwargs["slip_y"] = self.slip_y
-            if self.fast_math and self.backend in _FASTMATH_BACKENDS:
-                kwargs["fast_math"] = True
-            self.f = self._run_steps(self.f, self.walls, self.cfg, n_steps, **kwargs)
+            self.f = self._run_steps(
+                self.f, self.walls, self.cfg, n_steps, **self._backend_kwargs()
+            )
             if block:
                 # NOTE: under tunneled TPU runtimes block_until_ready() can
                 # return before execution finishes; fetching a scalar reduce
@@ -284,10 +308,7 @@ class Simulation:
                 self.f, self.walls, self.cfg, n_steps, probes,
                 every=every,
                 interpret=self.backend == "pallas-interpret",
-                wall_spec=self.wall_spec,
-                slip_x=self.slip_x,
-                slip_y=self.slip_y,
-                fast_math=self.fast_math,
+                **self._backend_kwargs(),
             )
             if block:
                 float(jnp.sum(series[-1]))
@@ -298,16 +319,9 @@ class Simulation:
             # shard_map loop — one jit, one host sync (parity-tested
             # against the xla series in tests/test_probes.py)
             t0 = time.perf_counter()
-            kwargs = {}
-            if self.wall_spec is not None:
-                kwargs["wall_spec"] = self.wall_spec
-            if self.slip_x is not None or self.slip_y is not None:
-                kwargs["slip_x"] = self.slip_x
-                kwargs["slip_y"] = self.slip_y
-            if self.fast_math and self.backend in _FASTMATH_BACKENDS:
-                kwargs["fast_math"] = True
             self.f, series = self._run_steps.run_probed(
-                self.f, self.walls, self.cfg, n_steps, probes, every, **kwargs
+                self.f, self.walls, self.cfg, n_steps, probes, every,
+                **self._backend_kwargs(),
             )
             if block:
                 float(jnp.sum(series[-1]))

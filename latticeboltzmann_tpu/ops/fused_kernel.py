@@ -269,7 +269,7 @@ def _make_kernel(
     if region is not None and external_halo:
         raise ValueError("region segments are a local-path optimization")
     if panels > 1:
-        if external_halo or rdma or region is not None or has_slip is None:
+        if external_halo or rdma or region is not None or has_slip:
             raise ValueError("panels: local path only")
         if (start, length) != (0, n_blocks):
             raise ValueError("panels: full block grid only")
@@ -1338,6 +1338,12 @@ def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma,
     # measures ~17.1k vs 15.7k MLUPS for the single masked launch.
     if mask is None:  # plan-only probe (no geometry): one masked launch
         row_shift, segs = 0, ((0, None, True, None),)
+    elif panels > 1:
+        # the panel kernel supports neither partial block runs nor
+        # recompute regions (make_step rejects both): one full-grid
+        # launch, masked only when the lattice actually has walls
+        wm = bool((np.asarray(mask, np.float64) > 0).any())
+        row_shift, segs = 0, ((0, None, wm, None),)
     else:
         row_shift, segs = wall_partition_regions(
             np.asarray(mask), br, temporal, cfg.ny, nyp, lpad
@@ -1502,7 +1508,19 @@ def wall_partition_regions(
         row_type = spans > nyp // 4
         lane_cells = u & ~row_type[:, None]
         row_bands = _bands(np.nonzero(row_type)[0].tolist(), 2 * T + 8, R)
-        lane_blocks = np.unique(np.nonzero(lane_cells.any(axis=0))[0] // LANE)
+        # Expand wall lanes by T before snapping to 128-lane blocks: the
+        # stored band is exactly [l0, l1) (advance_region's lane patches
+        # cannot over-store past the 128-aligned edge the way row patches
+        # extend their store by T), so every wall cell must sit >= T
+        # lanes INSIDE its band or the free evolution's contamination
+        # leaks past the band edge unpatched (a wall at lane 128 with
+        # T=3 corrupts lanes 125-127 of the free result).
+        wall_lanes = np.nonzero(lane_cells.any(axis=0))[0]
+        if wall_lanes.size:
+            wall_lanes = np.concatenate(
+                [wall_lanes - T, wall_lanes, wall_lanes + T]
+            ).clip(0, nyp - 1)
+        lane_blocks = np.unique(wall_lanes // LANE)
         lane_bands = tuple(
             (lo * LANE, min(hi * LANE, nyp)) for lo, hi in _bands(lane_blocks.tolist(), 1, nlb)
         )
@@ -1657,26 +1675,30 @@ def _make_runner(
         )
     K = refresh_interval(lpad, nyp - lpad - cfg.ny, cfg.ny, temporal)
     remirror = _make_remirror_xla(cfg, nyp, lpad) if panels > 1 else None
-    # remainder passes re-mirror pads every pass (in-kernel), or once up
-    # front via the XLA form when the kernel cannot (panels): rem passes
-    # number at most 2*temporal - 1 <= K
+    # remainder passes re-mirror pads every pass: in-kernel when the
+    # kernel can (panels == 1), otherwise via the XLA form applied to
+    # each pass's output (its pad lanes are stale up to depth 1 after a
+    # T=1 pass; the narrow updates restore them from the always-valid
+    # real columns). A single upfront remirror is NOT enough: with tight
+    # pads (min pad == T) the 2*temporal - 1 possible remainder passes
+    # exceed the min(lpad, rpad) validity depth.
     on1 = _flag(panels == 1)
+    _rm = (lambda x: x) if remirror is None else remirror
 
     def _with_remainder(a, b, walls_p, k1, odd):
         if one_pass1 is None:
             return a, b
-        if remirror is not None:
-            a = remirror(a)
+        a = _rm(a)  # invariant: carried src pads are fresh at loop entry
 
         def pair1(_, c):
             x, y = c
-            y2 = one_pass1(x, y, walls_p, on1)
-            x2 = one_pass1(y2, x, walls_p, on1)
+            y2 = _rm(one_pass1(x, y, walls_p, on1))
+            x2 = _rm(one_pass1(y2, x, walls_p, on1))
             return (x2, y2)
 
         def single(_, c):
             x, y = c
-            return (one_pass1(x, y, walls_p, on1), x)
+            return (_rm(one_pass1(x, y, walls_p, on1)), x)
 
         a, b = jax.lax.fori_loop(0, k1, pair1, (a, b))
         a, b = jax.lax.fori_loop(0, odd, single, (a, b))
@@ -1707,26 +1729,43 @@ def _make_runner(
         return runner
 
     off = _flag(False)  # the panel kernel ignores the refresh flag
-    ppr = max(1, K // 2)  # pairs per remirror: 2*ppr passes <= K
+    # passes valid after one full XLA remirror: each pass consumes T
+    # lanes of pad depth and the remirror restores min(lpad, rpad, ny)
+    allow = min(lpad, nyp - lpad - cfg.ny, cfg.ny) // temporal
+    ppr = max(1, allow // 2)  # pairs per remirror: 2*ppr passes <= allow
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def panel_runner(f_p, walls_p, n_pairs, k1, odd):
         scratch = jnp.zeros_like(f_p)
 
-        def inner(_, c):
-            x, y = c
-            y = one_pass(x, y, walls_p, off)
-            x = one_pass(y, x, walls_p, off)
-            return (x, y)
+        if allow >= 2:
+            def inner(_, c):
+                x, y = c
+                y = one_pass(x, y, walls_p, off)
+                x = one_pass(y, x, walls_p, off)
+                return (x, y)
 
-        def outer(o, carry):
-            a, b = carry
-            a = remirror(a)
-            todo = jnp.minimum(jnp.int32(ppr), n_pairs - o * jnp.int32(ppr))
-            return jax.lax.fori_loop(0, todo, inner, (a, b))
+            def outer(o, carry):
+                a, b = carry
+                a = remirror(a)
+                todo = jnp.minimum(
+                    jnp.int32(ppr), n_pairs - o * jnp.int32(ppr)
+                )
+                return jax.lax.fori_loop(0, todo, inner, (a, b))
 
-        n_outer = (n_pairs + jnp.int32(ppr) - 1) // jnp.int32(ppr)
-        a, b = jax.lax.fori_loop(0, n_outer, outer, (f_p, scratch))
+            n_outer = (n_pairs + jnp.int32(ppr) - 1) // jnp.int32(ppr)
+            a, b = jax.lax.fori_loop(0, n_outer, outer, (f_p, scratch))
+        else:
+            # tight pads (min pad < 2T): every pass needs fresh mirrors
+            def inner(_, c):
+                x, y = c
+                y = remirror(one_pass(x, y, walls_p, off))
+                x = remirror(one_pass(y, x, walls_p, off))
+                return (x, y)
+
+            a, b = jax.lax.fori_loop(
+                0, n_pairs, inner, (remirror(f_p), scratch)
+            )
         a, b = _with_remainder(a, b, walls_p, k1, odd)
         return a, b, _checksum(a)
 
@@ -1817,7 +1856,8 @@ class Session:
         self.fast_math = fast_math
         self.mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
         self.plan = _plan(
-            cfg, self.nx, self.mask, temporal, interpret, wall_spec is None
+            cfg, self.nx, self.mask, temporal, interpret, wall_spec is None,
+            allow_panels=not has_slip,  # the panel kernel has no slip path
         )
         self._f_p = None
         self._chk = None
@@ -1837,18 +1877,24 @@ class Session:
         self._with_remainder = (
             static_steps is None or static_steps % (2 * temporal) != 0
         )
-        # T=1 re-partition for the in-runner remainder passes (select
-        # regions anchor to the window height br + 2*T)
-        segs1 = (
-            segs
-            if temporal == 1 or n_panels > 1 or not self._with_remainder
-            else _segs_at(cfg, self.nx, self.mask, br, 1, nyp, lpad, row_shift)
-        )
         self._walls_p = None
-        self._runner = _make_runner(
-            cfg, self.nx, nyp, br, interpret, temporal, wall_spec, has_slip,
-            lpad, segs, row_shift, fast_math, n_panels, segs1,
-            self._with_remainder,
+        self._runner = self._build_runner(self._with_remainder)
+
+    def _build_runner(self, with_remainder: bool):
+        """The lru-cached jitted runner for this plan. segs1 is the T=1
+        re-partition for the in-runner remainder passes (select regions
+        anchor to the window height br + 2*T)."""
+        segs1 = (
+            self.segs
+            if self.temporal == 1 or self.panels > 1 or not with_remainder
+            else _segs_at(self.cfg, self.nx, self.mask, self.br, 1,
+                          self.nyp, self.lpad, self.row_shift)
+        )
+        return _make_runner(
+            self.cfg, self.nx, self.nyp, self.br, self.interpret,
+            self.temporal, self.wall_spec, self.has_slip, self.lpad,
+            self.segs, self.row_shift, self.fast_math, self.panels,
+            segs1, with_remainder,
         )
 
     def load(self, f) -> None:
@@ -1876,17 +1922,7 @@ class Session:
             # a static_steps session asked for a count off its promised
             # multiple: upgrade to the fully dynamic runner (lru-cached)
             self._with_remainder = True
-            segs1 = (
-                self.segs if self.temporal == 1 or self.panels > 1
-                else _segs_at(self.cfg, self.nx, self.mask, self.br, 1,
-                              self.nyp, self.lpad, self.row_shift)
-            )
-            self._runner = _make_runner(
-                self.cfg, self.nx, self.nyp, self.br, self.interpret,
-                self.temporal, self.wall_spec, self.has_slip, self.lpad,
-                self.segs, self.row_shift, self.fast_math, self.panels,
-                segs1, True,
-            )
+            self._runner = self._build_runner(True)
         a, b, chk = self._runner(
             self._f_p, self._walls_p, n_pairs, rem // 2, rem % 2
         )
@@ -1933,6 +1969,10 @@ def run_steps(
     stateless one-shot form of Session (which long-lived callers like
     the Simulation facade keep across calls to amortize the per-call
     plan/pad/unpad cost).
+
+    `f` is DONATED: its device buffer is consumed by the kernel chain
+    and must not be used after this call (pass jnp.array(f, copy=True)
+    to keep it). The Simulation facade handles this automatically.
 
     panels overrides the planner's lane-panel count (the 2-D grid is
     auto-selected only when no full-width row block fits VMEM — a

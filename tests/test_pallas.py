@@ -481,3 +481,135 @@ def test_panels_auto_select_is_fallback_only():
     cfg = LatticeConfig(nx=4000, ny=16000, dtype=np.float32)
     plan = fk._plan(cfg, 4000, None, None, False, False)
     assert plan is not None and plan[6] == 1
+
+
+def test_lane_band_wall_at_band_edge_matches_xla():
+    """Regression: a thin barrier whose wall lanes sit exactly at a
+    128-aligned lane-band edge. The stored lane patch is exactly
+    [l0, l1), so wall cells must be >= T lanes INSIDE the band or the
+    free evolution's contamination (one lane per step) leaks past the
+    band edge unpatched — silent 5e-4-scale wrong physics within a few
+    steps, growing every pass. wall_partition_regions now expands the
+    wall lanes by T before snapping to lane blocks. ny=1152 pads to
+    nyp=1280 with lpad=64, so real cols 192-196 are lanes 256-260: the
+    first wall lane IS the band edge of block 2."""
+    from latticeboltzmann_tpu.ops import stream_collide
+
+    cfg = LatticeConfig(nx=96, ny=1152, dtype=np.float32)
+    walls = np.zeros((cfg.nx, cfg.ny), bool)
+    walls[8:24, 192:197] = True
+    with _forced_regions():
+        nyp, lpad = fk.pick_layout(cfg.ny, 3)
+        assert (nyp, lpad) == (1280, 64)
+        _, segs = fk.wall_partition_regions(walls, 32, 3, cfg.ny, nyp, lpad)
+        bands = [s[3][1] for s in segs if s[2] and s[3] is not None]
+        assert bands and bands[0], "the lane-band region path must engage"
+        (l0, l1), = bands[0]
+        # the expanded band must give the wall lanes a >= T margin
+        assert l0 <= 256 - 3 and l1 >= 260 + 3
+
+        f0 = jnp.asarray(initial_state(cfg))
+        w = jnp.asarray(walls)
+        out = np.asarray(fk.run_steps(f0, w, cfg, 12, interpret=True, temporal=3))
+        ref = np.asarray(
+            stream_collide.run_steps(jnp.asarray(initial_state(cfg)), w, cfg, 12)
+        )
+        np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
+
+
+def test_lane_band_near_lattice_edge_falls_back_to_full_mask():
+    """A barrier within T lanes of the padded lane edge cannot carry the
+    recompute margin: the expanded band reaches lane 0 and region_of
+    must return None (full-mask selects), never a margin-less band.
+    Real cols 64-68 are lanes 128-132 (lpad=64); the T-expanded band
+    [0, 256) has no input margin at lane 0."""
+    from latticeboltzmann_tpu.ops import stream_collide
+
+    cfg = LatticeConfig(nx=96, ny=1152, dtype=np.float32)
+    walls = np.zeros((cfg.nx, cfg.ny), bool)
+    walls[8:24, 64:69] = True
+    with _forced_regions():
+        nyp, lpad = fk.pick_layout(cfg.ny, 3)
+        _, segs = fk.wall_partition_regions(walls, 32, 3, cfg.ny, nyp, lpad)
+        assert all(s[3] is None for s in segs)  # no region: full-mask path
+        f0 = jnp.asarray(initial_state(cfg))
+        w = jnp.asarray(walls)
+        out = np.asarray(fk.run_steps(f0, w, cfg, 6, interpret=True, temporal=3))
+        ref = np.asarray(
+            stream_collide.run_steps(jnp.asarray(initial_state(cfg)), w, cfg, 6)
+        )
+        np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
+
+
+@pytest.mark.parametrize("n_steps", [6, 5])
+def test_panel_tight_pads_match_xla(n_steps):
+    """Regression: lane panels with tight mirror pads (ny=762 pads to
+    nyp=768 with lpad=rpad=3 = temporal), where min(lpad,rpad)//T == 1:
+    the between-pass XLA remirror must run EVERY pass (the old
+    K//2-pair cadence let pads decay T lanes deep on the second pass of
+    each pair), and the remainder path (n_steps=5: two T=1 pairs + one
+    single) must remirror per pass, not once up front."""
+    from latticeboltzmann_tpu.ops import stream_collide
+
+    cfg = LatticeConfig(nx=64, ny=762, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    nyp, lpad = fk.pick_layout(cfg.ny, 3)
+    assert (nyp, lpad) == (768, 3)
+    f0 = initial_state(cfg)
+    out = np.asarray(
+        fk.run_steps(
+            jnp.asarray(f0), jnp.asarray(walls), cfg, n_steps,
+            interpret=True, panels=2, temporal=3,
+        )
+    )
+    ref = np.asarray(
+        stream_collide.run_steps(jnp.asarray(f0), jnp.asarray(walls), cfg, n_steps)
+    )
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
+
+
+def test_auto_panel_plan_collapses_to_single_launch():
+    """Regression: when the auto-panel fallback engages (no full-width
+    row block fits VMEM), _plan must collapse the wall partition to one
+    full-grid launch — the panel kernel rejects partial block runs and
+    recompute regions, so leaving them in segs made every walled
+    ultra-wide lattice raise ValueError instead of running."""
+    cfg = LatticeConfig(nx=96, ny=40960, dtype=np.float32)
+    walls = np.zeros((cfg.nx, cfg.ny), bool)
+    walls[0, :] = walls[-1, :] = True
+    walls[40:48, 20000:20004] = True
+    plan = fk._plan(cfg, cfg.nx, walls, None, False, True)
+    assert plan is not None and plan[6] > 1            # panels engaged
+    assert plan[5] == ((0, None, True, None),)         # one full launch
+    sess = fk.Session(cfg, jnp.asarray(walls))         # must not raise
+    assert sess.plan is not None and sess.panels > 1
+
+    # walls-free ultra-wide lattices take the free-kernel launch
+    nowalls = np.zeros((cfg.nx, cfg.ny), bool)
+    plan2 = fk._plan(cfg, cfg.nx, nowalls, None, False, True)
+    assert plan2 is not None and plan2[5] == ((0, None, False, None),)
+
+
+def test_panels_reject_slip_and_slip_avoids_auto_panels():
+    """The panel kernel has no slip path: an explicit panels= override
+    with slip masks must raise (the old guard compared has_slip to None
+    and could never fire), and the auto-panel planner must never engage
+    for slip runs — Session falls back to the XLA engine instead."""
+    cfg = LatticeConfig(nx=64, ny=762, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    slip = np.zeros_like(walls)
+    slip[1, :] = True
+    f0 = initial_state(cfg)
+    with pytest.raises(ValueError, match="panels"):
+        fk.run_steps(
+            jnp.asarray(f0), jnp.asarray(walls), cfg, 2,
+            interpret=True, panels=2, temporal=3, slip_x=jnp.asarray(slip),
+        )
+    cfg_wide = LatticeConfig(nx=96, ny=40960, dtype=np.float32)
+    walls_w = np.zeros((cfg_wide.nx, cfg_wide.ny), bool)
+    walls_w[0, :] = True
+    sess = fk.Session(
+        cfg_wide, jnp.asarray(walls_w),
+        slip_x=jnp.asarray(np.roll(walls_w, 1, axis=0)),
+    )
+    assert sess.plan is None  # XLA fallback, not an unvalidated panel run

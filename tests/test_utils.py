@@ -217,7 +217,8 @@ def test_bench_suite_configs_integrity():
     shapes/backends."""
     from latticeboltzmann_tpu.bench_suite import CONFIGS
 
-    assert len(CONFIGS) == 6  # config 5 runs twice: f32 and bf16
+    # config 5 runs twice (f32/bf16); the headline scene also has a bf16 row
+    assert len(CONFIGS) == 7
     precisions = {c[3] for c in CONFIGS}
     assert precisions == {"f64", "f32", "bf16"}
     assert any(c[5] == "sharded-pallas" for c in CONFIGS)
