@@ -350,7 +350,7 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--section", default="all",
                     choices=["all", "xla", "copy", "roll", "align", "ablate",
-                             "sweep", "prod", "split", "bf16"])
+                             "sweep", "prod", "split", "bf16", "floor"])
     args = ap.parse_args()
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
 
@@ -409,6 +409,24 @@ def main():
             except Exception as e:
                 print(f"bf16 cmp {dt} T={t}: FAILED "
                       f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+    if args.section == "floor":
+        # Floor decomposition at the headline config (not part of "all"
+        # — it recompiles three program families): how much of the
+        # production step is an irreducible wall-free floor vs wall
+        # handling (full-mask selects vs the region partition). The
+        # free-floor row is the hard lower bound any wall-handling
+        # scheme can reach at that T.
+        for t in (3, 4):
+            for segs, tag in (
+                (((0, None, False, None),), "free-floor"),
+                (((0, None, True, None),), "full-mask"),
+                (None, "auto-regions"),
+            ):
+                try:
+                    production(args.steps, temporal=t, segs=segs, tag=tag)
+                except Exception as e:
+                    print(f"floor {tag} T={t}: FAILED "
+                          f"({type(e).__name__}: {str(e)[:150]})", flush=True)
     if args.section in ("all", "split"):
         B = ((17, 8, True), (0, 17, False))
         cases = [
