@@ -41,31 +41,42 @@ def _await_tpu_tunnel(attempts: int = 5, probe_timeout: int = 240) -> None:
     """The axon tunnel sometimes goes fully down: backend init then hangs
     ~5-30 min in-process before raising UNAVAILABLE, which would eat the
     whole gate run. Probe device init in a bounded subprocess and give a
-    transient outage up to ~20 min to recover; on persistent failure
+    transient outage up to ~30 min to recover; on persistent failure
     continue anyway (the in-process attempt then reports the real error)."""
     import os
     import subprocess
 
     if os.environ.get("PALLAS_AXON_POOL_IPS") is None:
         return  # no tunnel configured (e.g. CPU-only CI): nothing to probe
+    last_err = ""
     for i in range(attempts):
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=probe_timeout, capture_output=True,
+                timeout=probe_timeout, capture_output=True, text=True,
             )
             if proc.returncode == 0:
                 if i:
                     print(f"bench: tunnel recovered on probe {i + 1}", file=sys.stderr)
+                # the probe subprocess just used (and released) the tunnel;
+                # transient init errors are documented for ~30-60 s after a
+                # TPU process exits, so let it settle before our own init
+                time.sleep(45)
                 return
+            last_err = proc.stderr[-1500:]
         except subprocess.TimeoutExpired:
-            pass
-        print(
-            f"bench: TPU tunnel probe {i + 1}/{attempts} failed; retrying in 120 s",
-            file=sys.stderr, flush=True,
-        )
-        time.sleep(120)
-    print("bench: tunnel still unreachable; attempting the run anyway", file=sys.stderr)
+            last_err = f"probe timed out after {probe_timeout} s"
+        if i + 1 < attempts:
+            print(
+                f"bench: TPU tunnel probe {i + 1}/{attempts} failed; retrying in 120 s",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(120)
+    print(
+        "bench: tunnel still unreachable; attempting the run anyway. "
+        f"Last probe error:\n{last_err}",
+        file=sys.stderr,
+    )
 
 
 def main() -> int:

@@ -15,10 +15,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
-# The XLA:CPU AOT loader logs a scary-but-benign machine-feature error
+# The XLA:CPU AOT loader logs a scary-but-benign machine-feature ERROR
 # for every program loaded from the persistent cache (the only deltas
 # are the 'prefer-no-scatter/gather' tuning pseudo-features); silence
 # C++ logging — test failures surface as Python exceptions regardless.
+# NOTE this hides ALL C++-side ERROR logs during tests; when debugging
+# something that fails without a Python exception, run with
+# TF_CPP_MIN_LOG_LEVEL=0 (setdefault keeps the override available).
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
