@@ -308,17 +308,23 @@ def ablation(name, ablate, n_steps, temporal=4, br=32, dtype="float32"):
 
 
 def production(n_steps, temporal=4, dtype="float32", segs=None, use_spec=True,
-               tag="", row_shift=0):
+               tag="", row_shift=0, scene="scaled"):
     """The real run_steps path: wall_segments partition + chained
     masked/wall-free segment kernels. segs overrides the partition
-    (perf-lab); use_spec=False exercises the DMA-mask path."""
-    from latticeboltzmann_tpu.core.geometry import channel_with_barrier, infer_spec
+    (perf-lab); use_spec=False exercises the DMA-mask path. scene
+    "scaled" = channel_with_barrier (barrier scales with the lattice);
+    "reference" = geometry.reference_barrier (the fixed 200x5 barrier
+    of src/latticeboltzmann.c:567-573 — bench.py's scene)."""
+    from latticeboltzmann_tpu.core.geometry import (
+        channel_with_barrier, infer_spec, reference_barrier,
+    )
     from latticeboltzmann_tpu.core.spec import LatticeConfig
     from latticeboltzmann_tpu.models.engine import initial_state
     from latticeboltzmann_tpu.ops import fused_kernel as fk
 
     cfg = LatticeConfig(nx=NX, ny=NY, dtype=dtype)
-    walls = channel_with_barrier(NX, NY)
+    builder = reference_barrier if scene == "reference" else channel_with_barrier
+    walls = builder(NX, NY)
     spec = infer_spec(walls) if use_spec else None
     f = initial_state(cfg)
     nyp, lpad = fk.pick_layout(NY, temporal)
@@ -417,13 +423,15 @@ def main():
         # free-floor row is the hard lower bound any wall-handling
         # scheme can reach at that T.
         for t in (3, 4):
-            for segs, tag in (
-                (((0, None, False, None),), "free-floor"),
-                (((0, None, True, None),), "full-mask"),
-                (None, "auto-regions"),
+            for segs, tag, scene in (
+                (((0, None, False, None),), "free-floor", "scaled"),
+                (((0, None, True, None),), "full-mask", "scaled"),
+                (None, "auto-regions-ref", "reference"),
+                (None, "auto-regions-scaled", "scaled"),
             ):
                 try:
-                    production(args.steps, temporal=t, segs=segs, tag=tag)
+                    production(args.steps, temporal=t, segs=segs, tag=tag,
+                               scene=scene)
                 except Exception as e:
                     print(f"floor {tag} T={t}: FAILED "
                           f"({type(e).__name__}: {str(e)[:150]})", flush=True)
