@@ -225,3 +225,57 @@ def test_bench_suite_configs_integrity():
     assert any(c[4] == "cylinder" for c in CONFIGS)
     for name, nx, ny, prec, geo, backend, rt, hw in CONFIGS:
         assert nx % 8 == 0 and ny >= 128
+
+
+def test_bench_tunnel_probe(monkeypatch):
+    """bench._await_tpu_tunnel: no-op without the tunnel env var; on
+    persistent probe failure it retries without sleeping after the last
+    attempt; on recovery it settles once and returns."""
+    import importlib.util
+    import os
+    import subprocess as sp
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    calls = {"probe": 0, "sleeps": []}
+
+    def fake_run(*a, **k):
+        calls["probe"] += 1
+        class P:
+            returncode = 1
+            stderr = "boom"
+        return P()
+
+    monkeypatch.setattr(sp, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: calls["sleeps"].append(s))
+
+    # no tunnel configured: returns without probing
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    bench._await_tpu_tunnel(attempts=3)
+    assert calls["probe"] == 0
+
+    # persistent failure: N probes, N-1 retry sleeps (none after the last)
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    bench._await_tpu_tunnel(attempts=3)
+    assert calls["probe"] == 3
+    assert calls["sleeps"] == [120, 120]
+
+    # recovery on the second probe: one retry sleep + one settle sleep
+    calls["probe"] = 0
+    calls["sleeps"] = []
+
+    def flaky_run(*a, **k):
+        calls["probe"] += 1
+        class P:
+            returncode = 0 if calls["probe"] >= 2 else 1
+            stderr = ""
+        return P()
+
+    monkeypatch.setattr(sp, "run", flaky_run)
+    bench._await_tpu_tunnel(attempts=3)
+    assert calls["probe"] == 2
+    assert calls["sleeps"] == [120, 45]
