@@ -22,8 +22,19 @@ import numpy as np
 from ..core.spec import E, NSPEEDS, OPPOSITE, REFLECT_X, REFLECT_Y, W, LatticeConfig
 
 
+def _compute_dtype(cfg: LatticeConfig):
+    """bfloat16 is a STORAGE precision (halved HBM traffic); all
+    collision arithmetic runs in float32, exactly as the Pallas kernel
+    does (ops/fused_kernel.py casts staged bf16 planes to f32). A pure-
+    bf16 engine is not a usable simulation: measured 68% mass drift and
+    max|u| 0.49 in 900 steps on a 64x2400 channel (vs 2.5e-6 / 0.017
+    for f32) — bf16's ~3 decimal digits cannot carry the relaxation's
+    near-cancellations. f32/f64 compute at their own precision."""
+    return jnp.float32 if jnp.dtype(cfg.dtype) == jnp.dtype(jnp.bfloat16) else cfg.dtype
+
+
 def _const(cfg: LatticeConfig, x: float):
-    return jnp.asarray(x, dtype=cfg.dtype)
+    return jnp.asarray(x, dtype=_compute_dtype(cfg))
 
 
 def apply_source(f: jax.Array, walls: jax.Array, cfg: LatticeConfig) -> jax.Array:
@@ -31,11 +42,15 @@ def apply_source(f: jax.Array, walls: jax.Array, cfg: LatticeConfig) -> jax.Arra
 
     walls: (NX, NY) bool. Adds accel*w to speeds (5,1,8), subtracts from
     (6,3,7) on fluid sites where all three decrements stay > 0.
+
+    Guard and increments run in the compute dtype (f32 for bf16
+    storage, like the Pallas kernel's forcing); the updated column is
+    rounded back to the storage dtype.
     """
-    dt = cfg.dtype
+    dt = np.dtype(_compute_dtype(cfg))
     a14 = jnp.asarray(np.asarray(cfg.accel, dt) * np.asarray(W[1], dt), dt)
     a58 = jnp.asarray(np.asarray(cfg.accel, dt) * np.asarray(W[5], dt), dt)
-    col = f[:, :, 0]  # (9, NX)
+    col = f[:, :, 0].astype(dt)  # (9, NX)
     zero = jnp.zeros((), dt)
     ok = (
         (~walls[:, 0])
@@ -50,7 +65,7 @@ def apply_source(f: jax.Array, walls: jax.Array, cfg: LatticeConfig) -> jax.Arra
     delta[[6, 7]] = -(np.asarray(cfg.accel, dt) * np.asarray(W[5], dt))
     delta[3] = -(np.asarray(cfg.accel, dt) * np.asarray(W[1], dt))
     new_col = jnp.where(ok[None, :], col + jnp.asarray(delta)[:, None], col)
-    return f.at[:, :, 0].set(new_col)
+    return f.at[:, :, 0].set(new_col.astype(f.dtype))
 
 
 def pull(f: jax.Array) -> jax.Array:
@@ -65,8 +80,9 @@ def pull(f: jax.Array) -> jax.Array:
 
 def collide(pulled: jax.Array, cfg: LatticeConfig) -> jax.Array:
     """BGK collision, scalar-kernel association order
-    (src/latticeboltzmann.c:258-296)."""
-    dt = cfg.dtype
+    (src/latticeboltzmann.c:258-296). `pulled` must already be in the
+    compute dtype (stream_collide casts bf16 storage up to f32)."""
+    dt = np.dtype(_compute_dtype(cfg))
     ft = pulled
     one = _const(cfg, 1.0)
     three = _const(cfg, 3.0)
@@ -113,14 +129,20 @@ def stream_collide(
     reference names but never implements (src/latticeboltzmann.c:21).
     Precedence on overlap: walls > slip_x > slip_y. All selects are
     branchless, so the slip paths cost two extra vectorized wheres.
+
+    With bf16 storage the whole step computes in f32 and rounds back on
+    return (the Pallas kernel's mixed-precision contract). Bounce-back
+    stays exact: the selected pulled values are bf16-representable, so
+    the final cast is an identity on them.
     """
-    pulled = pull(f)
+    pulled = pull(f).astype(_compute_dtype(cfg))
     out = collide(pulled, cfg)
     if slip_y is not None:
         out = jnp.where(slip_y[None, :, :], pulled[np.asarray(REFLECT_Y)], out)
     if slip_x is not None:
         out = jnp.where(slip_x[None, :, :], pulled[np.asarray(REFLECT_X)], out)
-    return jnp.where(walls[None, :, :], pulled[np.asarray(OPPOSITE)], out)
+    out = jnp.where(walls[None, :, :], pulled[np.asarray(OPPOSITE)], out)
+    return out.astype(f.dtype)
 
 
 def step(

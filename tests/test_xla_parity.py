@@ -127,3 +127,34 @@ def test_odd_ny_remainder_shapes():
     sim.run(6)
     ref = _golden_run(cfg, walls, 6)
     np.testing.assert_allclose(sim.state(), ref, rtol=1e-13, atol=1e-18)
+
+
+def test_bf16_storage_computes_in_f32():
+    """bf16 is a STORAGE precision on every backend: the XLA engine must
+    compute in f32 and round back, like the Pallas kernel. A pure-bf16
+    engine measured 68% mass drift and max|u| 0.49 within 900 steps on
+    a 64x2400 channel — bf16 cannot carry the relaxation's
+    near-cancellations. Regression: mass stays conserved to bf16
+    resolution and the flow stays subsonic-scale over a few hundred
+    steps, and a column beyond the kinetic front keeps EXACT opposite-
+    pair symmetry: the rounded rest state settles to a fixed point of
+    round(relax(.)) whose symmetric pairs stay bitwise equal, so u_y
+    there is exactly 0.0 — the explanation of the 4000x16000 bf16
+    benchmark row's Re = 0.0 (its flow probe sits beyond the front;
+    BENCH_RESULTS.jsonl carries the reached-column Reynolds)."""
+    cfg = LatticeConfig(nx=16, ny=700, dtype=jnp.bfloat16)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    sim = Simulation(cfg, walls, backend="xla")
+    sim.run(250)
+    f = np.asarray(sim.state(), np.float64)
+    rho = f.sum(axis=0)
+    assert np.isfinite(f).all() and (f >= 0).all()
+    assert abs(rho.mean() / cfg.initial_density - 1) < 0.01
+    u = np.abs(f[1] + f[5] + f[8] - f[3] - f[6] - f[7]) / rho
+    assert u.max() < 0.2
+    # beyond the kinetic front from BOTH ends (the wrap carries the
+    # column-0 signal backward too): columns (250, 450) are unreached
+    far = f[:, :, 300:440]
+    uy_far = far[1] + far[5] + far[8] - far[3] - far[6] - far[7]
+    np.testing.assert_array_equal(uy_far, np.zeros_like(uy_far))
+    assert float(sim.reynolds(350)) == 0.0
