@@ -91,6 +91,16 @@ def main() -> int:
 
     _await_tpu_tunnel()
 
+    from latticeboltzmann_tpu.utils.tpulock import tpu_lock
+
+    with tpu_lock() as lock_ok:
+        return _measure(args, lock_ok)
+
+
+def _measure(args, lock_ok: bool) -> int:
+    """The measured portion, run under the inter-process TPU lock so a
+    leftover background benchmark of this repo can never share the chip
+    with the gate run (the round-2 24x-degraded-artifact failure mode)."""
     import jax
 
     from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry, available_backends
@@ -179,6 +189,7 @@ def main() -> int:
         "slope_us_per_step": round(per_step * 1e6, 2),
         "slope_valid": slope_valid,
         "degraded_environment": degraded,
+        "tpu_lock_acquired": lock_ok,
         "reynolds": float(re),
         "finite_and_positive": ok,
         "device": str(jax.devices()[0]),

@@ -116,25 +116,28 @@ def main(argv=None) -> int:
 
     import jax
 
+    from .utils.tpulock import tpu_lock
+
     rows = []
     if args.only is None:
         todo = CONFIGS
     else:
         todo = [CONFIGS[int(i) - 1] for i in args.only.split(",")]
-    for name, nx, ny, prec, geo, backend, base_rt, base_hw in todo:
-        # f64 at full steps is an emulated-precision correctness config —
-        # cap its step count to keep the suite bounded
-        n = min(steps, 2000) if prec == "f64" else steps
-        t0 = time.time()
-        r = run_config(name, nx, ny, prec, geo, backend, n)
-        r["wall_total_s"] = round(time.time() - t0, 1)
-        if base_rt is not None:
-            base_mlups = nx * ny * 10000 / base_rt / 1e6
-            r["baseline_mlups"] = round(base_mlups, 1)
-            r["speedup_vs_baseline"] = round(r["mlups"] / base_mlups, 2)
-            r["baseline_hw"] = base_hw
-        print(json.dumps(r), flush=True)
-        rows.append(r)
+    with tpu_lock():  # one TPU run of this repo at a time (utils/tpulock.py)
+        for name, nx, ny, prec, geo, backend, base_rt, base_hw in todo:
+            # f64 at full steps is an emulated-precision correctness config
+            # — cap its step count to keep the suite bounded
+            n = min(steps, 2000) if prec == "f64" else steps
+            t0 = time.time()
+            r = run_config(name, nx, ny, prec, geo, backend, n)
+            r["wall_total_s"] = round(time.time() - t0, 1)
+            if base_rt is not None:
+                base_mlups = nx * ny * 10000 / base_rt / 1e6
+                r["baseline_mlups"] = round(base_mlups, 1)
+                r["speedup_vs_baseline"] = round(r["mlups"] / base_mlups, 2)
+                r["baseline_hw"] = base_hw
+            print(json.dumps(r), flush=True)
+            rows.append(r)
 
     if args.out:
         jsonl = args.out.rsplit(".", 1)[0] + ".jsonl"

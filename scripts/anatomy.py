@@ -358,6 +358,11 @@ def main():
                     choices=["all", "xla", "copy", "roll", "align", "ablate",
                              "sweep", "prod", "split", "bf16", "floor"])
     args = ap.parse_args()
+    from latticeboltzmann_tpu.utils.tpulock import tpu_lock
+
+    # hold the inter-process TPU lock for the process's whole lifetime
+    # (flock auto-releases on exit; see utils/tpulock.py)
+    tpu_lock().__enter__()
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
 
     if args.section in ("all", "xla"):

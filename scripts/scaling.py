@@ -248,7 +248,10 @@ def main():
     if args.mode == "cpu":
         mode_cpu(args)
     else:
-        mode_tpu(args)
+        from latticeboltzmann_tpu.utils.tpulock import tpu_lock
+
+        with tpu_lock():
+            mode_tpu(args)
 
 
 if __name__ == "__main__":

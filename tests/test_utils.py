@@ -279,3 +279,40 @@ def test_bench_tunnel_probe(monkeypatch):
     bench._await_tpu_tunnel(attempts=3)
     assert calls["probe"] == 2
     assert calls["sleeps"] == [120, 45]
+
+
+def test_tpu_lock_serializes_processes(tmp_path):
+    """Two holders of the inter-process TPU lock never overlap (the
+    round-2 postmortem's 24x-degraded gate artifact came from sharing
+    the single-slot chip); a timed-out waiter proceeds unlocked."""
+    import subprocess
+    import sys
+
+    from latticeboltzmann_tpu.utils.tpulock import tpu_lock
+
+    lockfile = str(tmp_path / "lock")
+    log = tmp_path / "log"
+    code = (
+        "import sys, time; sys.path.insert(0, %r); "
+        "from latticeboltzmann_tpu.utils.tpulock import tpu_lock\n"
+        "with tpu_lock(wait_s=30, path=%r) as ok:\n"
+        "    open(%r, 'a').write('enter %%s\\n' %% ok); time.sleep(1.5)\n"
+        "    open(%r, 'a').write('exit\\n')\n"
+    ) % (str(tmp_path.parent), lockfile, str(log), str(log))
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = code.replace(repr(str(tmp_path.parent)), repr(repo), 1)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code], cwd=repo)
+        for _ in range(2)
+    ]
+    for p in procs:
+        assert p.wait(timeout=60) == 0
+    lines = log.read_text().splitlines()
+    assert lines == ["enter True", "exit", "enter True", "exit"]
+
+    # a waiter that exhausts wait_s proceeds unlocked (ok=False)
+    with tpu_lock(wait_s=5, path=lockfile):
+        with tpu_lock(wait_s=0.2, path=lockfile) as ok2:
+            assert ok2 is False
