@@ -19,6 +19,17 @@ import sys
 
 import pytest
 
+from latticeboltzmann_tpu.utils.tpulock import tpu_lock
+
+
+def _run_on_chip(*args, **kwargs):
+    """subprocess.run under the inter-process TPU lock: the child owns
+    the single-slot chip for its lifetime, so it must not overlap any
+    benchmark of this repo (utils/tpulock.py)."""
+    with tpu_lock():
+        return subprocess.run(*args, **kwargs)
+
+
 _SMOKE = r"""
 import numpy as np
 import jax
@@ -68,7 +79,7 @@ def test_compiled_kernel_smoke_on_tpu():
     # tunneled TPU the default backend (when one is reachable)
     env.pop("JAX_PLATFORMS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    proc = subprocess.run(
+    proc = _run_on_chip(
         [sys.executable, "-c", _SMOKE],
         env=env,
         cwd=repo,
@@ -120,7 +131,7 @@ def test_rdma_ring_on_tpu():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    proc = subprocess.run(
+    proc = _run_on_chip(
         [sys.executable, "-c", _RDMA_SMOKE],
         env=env,
         cwd=repo,
