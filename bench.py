@@ -89,11 +89,14 @@ def main() -> int:
     ap.add_argument("--e2e-runs", type=int, default=3)
     args = ap.parse_args()
 
-    _await_tpu_tunnel()
-
     from latticeboltzmann_tpu.utils.tpulock import tpu_lock
 
+    # lock FIRST, probe second: the probe subprocess is itself a TPU
+    # process, so probing outside the lock would contend with a locked
+    # run (and misread lock contention as a tunnel outage); probing
+    # inside also puts the 45 s post-probe settle after any wait
     with tpu_lock() as lock_ok:
+        _await_tpu_tunnel()
         return _measure(args, lock_ok)
 
 

@@ -123,7 +123,9 @@ def main(argv=None) -> int:
         todo = CONFIGS
     else:
         todo = [CONFIGS[int(i) - 1] for i in args.only.split(",")]
-    with tpu_lock():  # one TPU run of this repo at a time (utils/tpulock.py)
+    # one TPU run of this repo at a time (utils/tpulock.py); lock_ok is
+    # False only after a timed-out wait — flag those rows as contended
+    with tpu_lock() as lock_ok:
         for name, nx, ny, prec, geo, backend, base_rt, base_hw in todo:
             # f64 at full steps is an emulated-precision correctness config
             # — cap its step count to keep the suite bounded
@@ -131,6 +133,8 @@ def main(argv=None) -> int:
             t0 = time.time()
             r = run_config(name, nx, ny, prec, geo, backend, n)
             r["wall_total_s"] = round(time.time() - t0, 1)
+            if not lock_ok:
+                r["tpu_lock_acquired"] = False
             if base_rt is not None:
                 base_mlups = nx * ny * 10000 / base_rt / 1e6
                 r["baseline_mlups"] = round(base_mlups, 1)

@@ -98,14 +98,19 @@ def _pull_padded(f_local, top_halo, bot_halo):
 def _finish(pulled, walls_local, cfg, slip_x_l=None, slip_y_l=None):
     """Collide + masked bounce-back (and optional free-slip specular
     reflection) on already-pulled distributions. Precedence walls >
-    slip_x > slip_y, matching ops.stream_collide."""
+    slip_x > slip_y, matching ops.stream_collide — including its
+    mixed-precision contract: with bf16 storage the arithmetic runs in
+    f32 and rounds back on return (ops.collide expects compute-dtype
+    inputs; feeding it raw bf16 would also promote the scan carry)."""
+    storage = pulled.dtype
+    pulled = pulled.astype(ops._compute_dtype(cfg))
     relaxed = ops.collide(pulled, cfg)
     if slip_y_l is not None:
         relaxed = jnp.where(slip_y_l[None, :, :], pulled[np.asarray(REFLECT_Y)], relaxed)
     if slip_x_l is not None:
         relaxed = jnp.where(slip_x_l[None, :, :], pulled[np.asarray(REFLECT_X)], relaxed)
     bounced = pulled[np.asarray(ops.OPPOSITE)]
-    return jnp.where(walls_local[None, :, :], bounced, relaxed)
+    return jnp.where(walls_local[None, :, :], bounced, relaxed).astype(storage)
 
 
 def _step_local(f_local, walls_local, cfg: LatticeConfig, overlap: bool,

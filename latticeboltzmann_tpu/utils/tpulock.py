@@ -37,7 +37,22 @@ def tpu_lock(wait_s: float = 1800.0, path: str = LOCK_PATH):
     runs leaves no artifact at all. Yields True if the lock was
     acquired, False if it timed out and is running unlocked.
     """
-    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o666)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o666)
+        try:  # umask typically masks the create mode to 0644; make the
+            os.fchmod(fd, 0o666)  # shared /tmp file writable cross-user
+        except OSError:
+            pass
+    except OSError as e:
+        # e.g. another user owns the lockfile at 0644: a benchmark that
+        # cannot lock should still RUN (unlocked, flagged) — never die
+        # before producing an artifact
+        print(
+            f"tpu_lock: cannot open {path} ({e}); running UNLOCKED",
+            file=sys.stderr, flush=True,
+        )
+        yield False
+        return
     acquired = False
     try:
         deadline = time.monotonic() + wait_s
@@ -62,7 +77,8 @@ def tpu_lock(wait_s: float = 1800.0, path: str = LOCK_PATH):
                         file=sys.stderr, flush=True,
                     )
                     warned = True
-                time.sleep(5.0)
+                # clamp to the deadline so small wait_s stays a bound
+                time.sleep(max(0.05, min(5.0, deadline - time.monotonic())))
         if acquired:
             os.ftruncate(fd, 0)
             os.write(fd, f"pid={os.getpid()}\n".encode())

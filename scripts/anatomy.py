@@ -361,8 +361,13 @@ def main():
     from latticeboltzmann_tpu.utils.tpulock import tpu_lock
 
     # hold the inter-process TPU lock for the process's whole lifetime
-    # (flock auto-releases on exit; see utils/tpulock.py)
-    tpu_lock().__enter__()
+    # (flock auto-releases on exit; see utils/tpulock.py). The context
+    # manager MUST stay referenced: a bare tpu_lock().__enter__() is
+    # garbage-collected immediately, which throws GeneratorExit into the
+    # generator and runs its finally — silently releasing the lock.
+    global _TPU_LOCK_CM
+    _TPU_LOCK_CM = tpu_lock()
+    _TPU_LOCK_CM.__enter__()
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
 
     if args.section in ("all", "xla"):

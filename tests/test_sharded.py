@@ -176,3 +176,18 @@ def test_rdma_interpret_guard():
     with pytest.raises(ValueError, match="interpret"):
         fk.make_step(cfg, 128, nyp, 32, True, 4, external_halo=True,
                      wall_spec=(("channel",),), lpad=lpad, rdma=True)
+
+
+def test_sharded_bf16_matches_unsharded(cfg8, walls8):
+    """bf16 storage through the sharded XLA backend: computes in f32
+    per the mixed-precision contract (ops.collide expects compute-dtype
+    inputs — raw bf16 operands would promote the scan carry to f32 and
+    fail to trace, and would skip the storage-precision rounding)."""
+    import jax.numpy as jnp
+
+    cfg = LatticeConfig(nx=cfg8.nx, ny=cfg8.ny, dtype=jnp.bfloat16)
+    ref = Simulation(cfg, walls8, backend="xla").run(10).state()
+    out = Simulation(cfg, walls8, backend="sharded").run(10).state()
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32)
+    )

@@ -290,6 +290,9 @@ def test_tpu_lock_serializes_processes(tmp_path):
 
     from latticeboltzmann_tpu.utils.tpulock import tpu_lock
 
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     lockfile = str(tmp_path / "lock")
     log = tmp_path / "log"
     code = (
@@ -298,11 +301,7 @@ def test_tpu_lock_serializes_processes(tmp_path):
         "with tpu_lock(wait_s=30, path=%r) as ok:\n"
         "    open(%r, 'a').write('enter %%s\\n' %% ok); time.sleep(1.5)\n"
         "    open(%r, 'a').write('exit\\n')\n"
-    ) % (str(tmp_path.parent), lockfile, str(log), str(log))
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = code.replace(repr(str(tmp_path.parent)), repr(repo), 1)
+    ) % (repo, lockfile, str(log), str(log))
     procs = [
         subprocess.Popen([sys.executable, "-c", code], cwd=repo)
         for _ in range(2)

@@ -140,8 +140,9 @@ def test_bf16_storage_computes_in_f32():
     pair symmetry: the rounded rest state settles to a fixed point of
     round(relax(.)) whose symmetric pairs stay bitwise equal, so u_y
     there is exactly 0.0 — the explanation of the 4000x16000 bf16
-    benchmark row's Re = 0.0 (its flow probe sits beyond the front;
-    BENCH_RESULTS.jsonl carries the reached-column Reynolds)."""
+    benchmark row's Re = 0.0 (its probe column sees only a sub-quantum
+    kinetic precursor; BENCH_RESULTS.jsonl carries the reached-column
+    Reynolds)."""
     cfg = LatticeConfig(nx=16, ny=700, dtype=jnp.bfloat16)
     walls = geometry.channel(cfg.nx, cfg.ny)
     sim = Simulation(cfg, walls, backend="xla")
