@@ -143,10 +143,32 @@ def _make_kernel(
     axis: str = "x",
     region=None,
     panels: int = 1,
+    emit_carry: bool = False,
+    skew: bool = False,
 ):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
     reference's #define block, src/latticeboltzmann.c:36-56).
+
+    emit_carry / skew implement wavefront time-skewing of the wall-free
+    segments (docs/TUNING.md round-3+): the classic temporal window is a
+    trapezoid — block b stages rows [b*br - T, b*br + br + T) and
+    re-computes the shrinking overlap rows every pass (T^2 - T redundant
+    row-steps per block, and the whole window grows with T, which is
+    what made T=5 SLOWER than T=3 despite 40% less HBM traffic). The
+    skew variant instead gives every block a FIXED (br + 2)-row
+    parallelogram window sliding one row per step: the two rows below
+    the window at each intermediate time level come from the previous
+    grid step's block through persistent VMEM scratch (the Pallas TPU
+    grid is sequential on a core, so block b-1's intermediate rows are
+    already computed when block b runs) — zero redundant compute at ANY
+    temporal depth. The first block of a run has no predecessor, so the
+    runner launches it as a classic trapezoid with emit_carry=True: it
+    additionally writes its window's top two rows at each time level
+    t = 0..T-1 (pre-forcing, i.e. the values as of time t) to a small
+    f32 carry output, which seeds the skew launch's carry scratch. This
+    is the TPU form of skewed/wavefront tiling for stencils; the
+    reference has no analog (its OpenMP rows are spatial-only).
 
     panels > 1 adds a SECOND (outer) grid dimension over lane panels of
     P = nyp/panels lanes each — the 2-D (x, y) block grid for lattices
@@ -268,6 +290,13 @@ def _make_kernel(
         raise ValueError("region only applies to the masked variant")
     if region is not None and external_halo:
         raise ValueError("region segments are a local-path optimization")
+    if emit_carry or skew:
+        if wall_mode or external_halo or rdma or region is not None or panels > 1:
+            raise ValueError(
+                "skew/emit_carry apply to wall-free local single-panel segments"
+            )
+        if emit_carry and skew:
+            raise ValueError("emit_carry and skew are different launches")
     if panels > 1:
         if external_halo or rdma or region is not None or has_slip:
             raise ValueError("panels: local path only")
@@ -322,7 +351,12 @@ def _make_kernel(
         del donor_hbm
         htop = hbot = whtop = whbot = wbody = None
         ct_ref = cb_ref = ssem = rsem = None
-        if rdma and wall_spec is not None:
+        carr_in = carry_out = c_ref = w_ref = None
+        if skew:
+            carr_in, rfl_ref, out_ref, fbody, sems, c_ref, w_ref = rest
+        elif emit_carry:
+            rfl_ref, out_ref, carry_out, fbody, sems = rest
+        elif rdma and wall_spec is not None:
             (off_ref, rfl_ref, out_ref, ct_ref, cb_ref,
              fbody, sems, sbuf, ssem, rsem) = rest
         elif rdma:
@@ -811,12 +845,16 @@ def _make_kernel(
             def bot_piece(s):
                 return fbody[s_bot, s, :T]
 
-        f = [
-            jnp.concatenate(
-                [top_piece(s), fbody[s_body, s], bot_piece(s)], axis=0
-            ).astype(dtype)
-            for s in range(NSPEEDS)
-        ]
+        f = (
+            None  # skew assembles its own parallelogram window below
+            if skew
+            else [
+                jnp.concatenate(
+                    [top_piece(s), fbody[s_body, s], bot_piece(s)], axis=0
+                ).astype(dtype)
+                for s in range(NSPEEDS)
+            ]
+        )
         cls = None
         wall = None
         if not wall_mode:
@@ -884,7 +922,7 @@ def _make_kernel(
             if wall is None:  # empty spec: fully periodic fluid box
                 wall = jnp.zeros((R, PW), jnp.bool_)
 
-        def evolve(ff, ww, cc, do_force: bool = True):
+        def evolve(ff, ww, cc, do_force: bool = True, emit=None):
             """T fused steps on a (sub-)window: trims one invalid row
             per side per step (forcing precedes every step:
             src/latticeboltzmann.c:192,201). ww=None is the solid-free
@@ -892,8 +930,13 @@ def _make_kernel(
             of the kernel's VPU time (scripts/anatomy.py). do_force=False
             is for lane-sliced sub-windows, whose coordinates `forced`
             does not speak — the partitioner keeps forcing lanes out of
-            them, so skipping is exact there."""
-            for _ in range(T):
+            them, so skipping is exact there. emit(t, ff) observes the
+            window at each time level BEFORE forcing (the skew carry is
+            pre-forcing: its consumer re-applies the step's forcing to
+            the assembled window, see advance_skew)."""
+            for t in range(T):
+                if emit is not None:
+                    emit(t, ff)
                 if do_force and "force" not in ablate:
                     ff = (forced_dyn if panels > 1 else forced)(ff, ww)
                 ff = stream_collide_window(ff, ww, cc)
@@ -906,9 +949,23 @@ def _make_kernel(
         def advance(masked: bool):
             if masked and region is not None:
                 return advance_region()
+            if skew:
+                return advance_skew()
             ww = wall if masked else None
             cc = cls if masked else None
-            ff = evolve(list(f), ww, cc)
+            emit = None
+            if emit_carry:
+                def emit(t, ffx):
+                    # the run's LAST trapezoid block owns the rows the
+                    # following skew launch needs (its window's top two
+                    # rows at each time level, pre-forcing)
+                    @pl.when(i == length - 1)
+                    def _():
+                        for s in range(NSPEEDS):
+                            carry_out[s, 2 * t : 2 * t + 2, :] = ffx[s][
+                                -2:
+                            ].astype(jnp.float32)
+            ff = evolve(list(f), ww, cc, emit=emit)
             if panels == 1:
                 for s in range(NSPEEDS):
                     out_ref[s, :, :] = ff[s].astype(storage)
@@ -1001,6 +1058,64 @@ def _make_kernel(
                     val = gg[s] if lane_src is None else gg[s][:, lane_src]
                     out_ref[(s, *dst)] = val.astype(storage)
 
+        def advance_skew():
+            """Wavefront (time-skewed) evolution of block b = start + i:
+            a FIXED (br + 2)-row window sliding one lattice row per
+            step. At time level t the live rows are
+            [b*br + T - t, b*br + br + T - t); the two rows below come
+            from block b-1's window at the same level, carried across
+            the sequential grid in c_ref (seeded at i == 0 from the
+            emit_carry trapezoid launch's output). After T steps the
+            window IS the block's own output rows — no shrinking
+            overlap, so deep temporal blocking costs no extra VPU work.
+
+            The step result bounces through w_ref (an f32 VMEM scratch)
+            before the next step's carry concat: rolled values feeding
+            a vector concat hard-crash Mosaic's layout pass
+            (docs/TUNING.md round-3 notes), while concats of plain ref
+            loads are the kernel's standard window assembly. The
+            'skewconcat' ablate keeps the direct dataflow instead (a
+            hardware compile/perf probe). f32 bouncing keeps bf16
+            storage runs bitwise-equal to the trapezoid kernel, which
+            also computes whole passes in f32."""
+            @pl.when(i == 0)
+            def _():
+                c_ref[...] = carr_in[...].astype(jnp.float32)
+
+            direct = "skewconcat" in ablate
+            ff = None
+            for t in range(T):
+                if t == 0:
+                    # rows [b*br + T, b*br + br + T) at t=0: plain loads
+                    # from the two resident staged blocks
+                    cur = [
+                        jnp.concatenate(
+                            [fbody[s_body, s, T:], fbody[s_bot, s, :T]],
+                            axis=0,
+                        ).astype(dtype)
+                        for s in range(NSPEEDS)
+                    ]
+                elif direct:
+                    cur = ff
+                else:
+                    for s in range(NSPEEDS):
+                        w_ref[s] = ff[s]
+                    cur = [w_ref[s][...] for s in range(NSPEEDS)]
+                win = []
+                for s in range(NSPEEDS):
+                    # read block b-1's level-t carry, then replace it in
+                    # place with mine for block b+1 (my window's top two
+                    # rows at level t — program order keeps the load
+                    # before the store)
+                    c_t = c_ref[s, 2 * t : 2 * t + 2, :]
+                    win.append(jnp.concatenate([c_t, cur[s]], axis=0))
+                    c_ref[s, 2 * t : 2 * t + 2, :] = cur[s][br - 2 :, :]
+                if "force" not in ablate:
+                    win = forced(win, None)
+                ff = stream_collide_window(win, None, None)
+            for s in range(NSPEEDS):
+                out_ref[s, :, :] = ff[s].astype(storage)
+
         # wall_mode=False is the wall-free fast variant: no mask, no
         # bounce-back selects — where(False, a, b) == b exactly, so it is
         # bitwise-identical to the masked variant on solid-free windows.
@@ -1038,6 +1153,8 @@ def make_step(
     axis: str = "x",
     region=None,
     panels: int = 1,
+    emit_carry: bool = False,
+    skew: bool = False,
 ):
     """Jittable padded-state half-step:
     (f_src, dst_donor, walls_padded_f32, [halos...], refresh) -> f_new,
@@ -1086,7 +1203,7 @@ def make_step(
     kernel = _make_kernel(
         cfg, nx, nyp, br, dtype, temporal, external_halo, slots, wall_spec, has_slip,
         ablate, lpad, start, length, wall_mode, row_shift, fast_math, rdma, axis,
-        region, panels,
+        region, panels, emit_carry, skew,
     )
     PW = nyp if panels == 1 else nyp // panels + 2 * LANE
     PP = nyp // panels
@@ -1121,6 +1238,15 @@ def make_step(
         else:
             # shard's global row offset, (1,) int32 in SMEM
             in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    # skew carry seed: the emit_carry launch's (9, 2T, nyp) f32 output
+    if skew:
+        in_specs += [
+            pl.BlockSpec(
+                (NSPEEDS, 2 * temporal, nyp),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
     # pad-remirror flag, (1,) int32 in SMEM (always the last input)
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
@@ -1145,6 +1271,22 @@ def make_step(
 
     out_shape = jax.ShapeDtypeStruct((NSPEEDS, nx, nyp), cfg.dtype)
     out_specs = pl.BlockSpec((NSPEEDS, br, PP), out_index, memory_space=pltpu.VMEM)
+    if emit_carry:
+        # the skew seed: this run's last block's window top-2 rows per
+        # time level, f32 (the compute precision — keeps bf16 runs
+        # bitwise-equal to the all-trapezoid chain)
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((NSPEEDS, 2 * temporal, nyp), np.float32),
+        )
+        out_specs = (
+            out_specs,
+            pl.BlockSpec(
+                (NSPEEDS, 2 * temporal, nyp),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
     if rdma:
         # comm buffers: the neighbors' remote DMAs land here. Outputs
         # (not scratch) so the buffers have symmetric addresses across
@@ -1170,6 +1312,9 @@ def make_step(
             + ([pltpu.VMEM((2, NSPEEDS, HR, nyp), cfg.dtype),
                 pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
                if rdma else [])
+            + ([pltpu.VMEM((NSPEEDS, 2 * temporal, nyp), jnp.float32),  # carry
+                pltpu.VMEM((NSPEEDS, br, nyp), jnp.float32)]            # bounce
+               if skew else [])
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * (2 if panels > 1 else 1),
@@ -1273,6 +1418,12 @@ def unpad_state(f_p, cfg: LatticeConfig, lpad: int, row_shift: int = 0):
 # drops from 25% to 18.75% of rows. bf16 and VMEM-capped shapes default
 # to T=2 (see _plan).
 DEFAULT_TEMPORAL = 3
+
+# wavefront time-skewing default for the wall-free segment launches
+# (see _make_kernel's skew docstring / _make_pass). Off until the
+# on-chip measurement flips it; Session/run_steps take an explicit
+# override either way.
+SKEW_DEFAULT = False
 
 
 def _pick_panels(nx: int, nyp: int, itemsize: int, walls_dma: bool):
@@ -1596,24 +1747,55 @@ def wall_partition_regions(
 
 
 def _make_pass(cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip,
-               lpad, segs, row_shift=0, fast_math=False, panels=1):
+               lpad, segs, row_shift=0, fast_math=False, panels=1,
+               skew=False):
     """One full kernel pass (temporal steps) as a chain of segment
     launches: each writes its circular block run into the shared aliased
     donor buffer, so the chain composes the whole lattice update. Each
-    seg is (start, length, wall_mode[, region])."""
-    steps = tuple(
-        make_step(
-            cfg, nx, nyp, br, interpret, temporal, wall_spec=wall_spec,
-            has_slip=has_slip, lpad=lpad, start=seg[0], length=seg[1],
-            wall_mode=seg[2], row_shift=row_shift, fast_math=fast_math,
-            region=seg[3] if len(seg) > 3 else None, panels=panels,
-        )
-        for seg in segs
+    seg is (start, length, wall_mode[, region]).
+
+    skew=True rewrites each wall-free run of >= 2 blocks (at temporal
+    >= 2) into an emit_carry trapezoid launch for its first block plus a
+    wavefront launch for the rest (see _make_kernel): the carry output
+    of the former feeds the latter, which XLA sequences by the data
+    dependency. Masked runs, T=1 remainder passes, and panel grids keep
+    the classic trapezoid windows."""
+    nb = nx // br
+    common = dict(
+        wall_spec=wall_spec, has_slip=has_slip, lpad=lpad,
+        row_shift=row_shift, fast_math=fast_math, panels=panels,
     )
+    steps = []  # (kind, launch): 0 classic, 1 emit_carry, 2 skew
+    for seg in segs:
+        start, ln, wm = seg[0], seg[1], seg[2]
+        reg = seg[3] if len(seg) > 3 else None
+        ln_eff = nb if ln is None else ln
+        if skew and not wm and panels == 1 and temporal >= 2 and ln_eff >= 2:
+            steps.append((1, make_step(
+                cfg, nx, nyp, br, interpret, temporal, start=start,
+                length=1, wall_mode=False, emit_carry=True, **common,
+            )))
+            steps.append((2, make_step(
+                cfg, nx, nyp, br, interpret, temporal,
+                start=(start + 1) % nb, length=ln_eff - 1,
+                wall_mode=False, skew=True, **common,
+            )))
+        else:
+            steps.append((0, make_step(
+                cfg, nx, nyp, br, interpret, temporal, start=start,
+                length=ln, wall_mode=wm, region=reg, **common,
+            )))
+    steps = tuple(steps)
 
     def one_pass(src, dst, walls_p, rfl):
-        for st in steps:
-            dst = st(src, dst, walls_p, rfl)
+        carry = None
+        for kind, st in steps:
+            if kind == 1:
+                dst, carry = st(src, dst, walls_p, rfl)
+            elif kind == 2:
+                dst = st(src, dst, walls_p, carry, rfl)
+            else:
+                dst = st(src, dst, walls_p, rfl)
         return dst
 
     return one_pass
@@ -1636,6 +1818,7 @@ def _make_runner(
     panels: int = 1,
     segs1=None,
     with_remainder: bool = True,
+    skew: bool = False,
 ):
     """One persistent jitted runner per configuration: advances
     2*temporal*n_pairs + 2*k1 + odd steps with DYNAMIC counts
@@ -1661,13 +1844,14 @@ def _make_runner(
     super-step loop, and once before the remainder passes."""
     one_pass = _make_pass(
         cfg, nx, nyp, br, interpret, temporal, wall_spec, has_slip, lpad, segs,
-        row_shift, fast_math, panels,
+        row_shift, fast_math, panels, skew,
     )
     if not with_remainder:
         one_pass1 = None
     elif temporal == 1:
         one_pass1 = one_pass
     else:
+        # remainder passes never skew (wavefront needs temporal >= 2)
         one_pass1 = _make_pass(
             cfg, nx, nyp, br, interpret, 1, wall_spec, has_slip, lpad,
             segs1 if segs1 is not None else ((0, None, True, None),),
@@ -1838,6 +2022,7 @@ class Session:
         fast_math: bool = False,
         panels: int | None = None,
         static_steps: int | None = None,
+        skew: bool | None = None,
     ):
         """static_steps: a one-shot caller (run_steps) that will only
         ever advance() this exact count may pass it here; when it is a
@@ -1854,6 +2039,7 @@ class Session:
         self.wall_spec = wall_spec
         self.has_slip = has_slip
         self.fast_math = fast_math
+        self.skew = SKEW_DEFAULT if skew is None else skew
         self.mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
         self.plan = _plan(
             cfg, self.nx, self.mask, temporal, interpret, wall_spec is None,
@@ -1894,7 +2080,7 @@ class Session:
             self.cfg, self.nx, self.nyp, self.br, self.interpret,
             self.temporal, self.wall_spec, self.has_slip, self.lpad,
             self.segs, self.row_shift, self.fast_math, self.panels,
-            segs1, with_remainder,
+            segs1, with_remainder, self.skew,
         )
 
     def load(self, f) -> None:
@@ -1964,6 +2150,7 @@ def run_steps(
     slip_y=None,
     fast_math: bool = False,
     panels: int | None = None,
+    skew: bool | None = None,
 ):
     """Simulation-backend adapter: unpadded in, unpadded out — the
     stateless one-shot form of Session (which long-lived callers like
@@ -1999,6 +2186,7 @@ def run_steps(
         cfg, walls, interpret=interpret, temporal=temporal,
         wall_spec=wall_spec, slip_x=slip_x, slip_y=slip_y,
         fast_math=fast_math, panels=panels, static_steps=n_steps,
+        skew=skew,
     )
     if sess.plan is None:
         from . import stream_collide
@@ -2026,6 +2214,7 @@ def _make_probed_runner(
     segs=((0, None, True),),
     row_shift: int = 0,
     fast_math: bool = False,
+    skew: bool = False,
 ):
     """Probe-fused runner: advances n_chunks * every steps under ONE jit,
     emitting (rho, u_x, u_y) at the probe sites every `every` steps into
@@ -2052,7 +2241,7 @@ def _make_probed_runner(
         pairs = 0  # odd path below
     stepP = _make_pass(
         cfg, nx, nyp, br, interpret, t_used, wall_spec, has_slip, lpad, segs,
-        row_shift, fast_math,
+        row_shift, fast_math, skew=skew,
     )
 
     on = _flag(True)  # diagnostics mode: re-mirror pads every pass
@@ -2096,6 +2285,7 @@ def run_steps_probed(
     slip_x=None,
     slip_y=None,
     fast_math: bool = False,
+    skew: bool | None = None,
 ):
     """(f_final, series): advance n_steps sampling probes every `every`
     steps, all on device with one host sync. series: (n_steps//every, P, 3).
@@ -2130,6 +2320,7 @@ def run_steps_probed(
     runner = _make_probed_runner(
         cfg, nx, nyp, br, interpret, every, temporal, n_steps // every,
         wall_spec, has_slip, lpad, segs, row_shift, fast_math,
+        SKEW_DEFAULT if skew is None else skew,
     )
     fout_p, series = runner(f_p, walls_p, probes)
     return unpad_state(fout_p, cfg, lpad, row_shift), series

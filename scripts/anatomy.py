@@ -308,7 +308,8 @@ def ablation(name, ablate, n_steps, temporal=4, br=32, dtype="float32"):
 
 
 def production(n_steps, temporal=4, dtype="float32", segs=None, use_spec=True,
-               tag="", row_shift=0, scene="scaled"):
+               tag="", row_shift=0, scene="scaled", skew=False,
+               ablate=frozenset()):
     """The real run_steps path: wall_segments partition + chained
     masked/wall-free segment kernels. segs overrides the partition
     (perf-lab); use_spec=False exercises the DMA-mask path. scene
@@ -337,18 +338,45 @@ def production(n_steps, temporal=4, dtype="float32", segs=None, use_spec=True,
             np.asarray(walls), br, temporal, NY, nyp, lpad
         )
     f_p, walls_p = fk.pad_state(f, walls, cfg, nyp, lpad, row_shift)
-    runner = fk._make_runner(
-        cfg, NX, nyp, br, False, temporal, spec, False, lpad, segs, row_shift,
-        with_remainder=False,  # slope counts are exact multiples of 2T
-    )
+    if ablate:
+        # ablated variants bypass the cached runner path (lru keys would
+        # collide): build the pass chain directly, no remainder program
+        _orig = fk.make_step
+        fk_make = functools.partial(_orig, ablate=ablate)
+        fk.make_step = fk_make
+        try:
+            one_pass = fk._make_pass(cfg, NX, nyp, br, False, temporal, spec,
+                                     False, lpad, segs, row_shift, skew=skew)
+        finally:
+            fk.make_step = _orig
+
+        @jax.jit
+        def runner(f_p, walls_p, n_pairs, k1, odd):
+            def body(it, c):
+                a, b = c
+                b = one_pass(a, b, walls_p, fk._flag(it == 0))
+                a = one_pass(b, a, walls_p, fk._flag(False))
+                return (a, b)
+            a, b = jax.lax.fori_loop(
+                0, n_pairs, body, (f_p, jnp.zeros_like(f_p)))
+            return a, b, fk._checksum(a)
+    else:
+        runner = fk._make_runner(
+            cfg, NX, nyp, br, False, temporal, spec, False, lpad, segs,
+            row_shift, skew=skew,
+            with_remainder=False,  # slope counts are exact multiples of 2T
+        )
 
     def call(n):  # runner donates: hand it a fresh buffer each call
         return runner(f_p + 0, walls_p, n, 0, 0)[0]
 
     n_pairs = max(n_steps // (2 * temporal), 2)
     dt = timed_slope(call, n_pairs, 2 * n_pairs, steps_per_n=2 * temporal)
-    report(f"production T={temporal} BR={br} segs={len(segs)} {dtype} {tag}", dt,
-           sites_steps=NX * NY)
+    report(
+        f"production T={temporal} BR={br} segs={len(segs)}"
+        f"{' skew' if skew else ''} {dtype} {tag}",
+        dt, sites_steps=NX * NY,
+    )
 
 
 def main():
@@ -356,7 +384,8 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--section", default="all",
                     choices=["all", "xla", "copy", "roll", "align", "ablate",
-                             "sweep", "prod", "split", "bf16", "floor"])
+                             "sweep", "prod", "split", "bf16", "floor",
+                             "skew"])
     args = ap.parse_args()
     from latticeboltzmann_tpu.utils.tpulock import tpu_lock
 
@@ -445,6 +474,47 @@ def main():
                 except Exception as e:
                     print(f"floor {tag} T={t}: FAILED "
                           f"({type(e).__name__}: {str(e)[:150]})", flush=True)
+    if args.section == "skew":
+        # Wavefront time-skewing (emit_carry + skew launches): fixed
+        # (BR+2)-row parallelogram windows with carry through VMEM
+        # scratch — zero overlap recompute at any T, making deep
+        # temporal blocking (halved HBM traffic) affordable. Compare
+        # against the trapezoid baseline at each T on the reference
+        # scene, plus the free-floor form (no walls) that isolates the
+        # skew kernel itself, plus the direct-dataflow concat variant
+        # (a compile probe: rolled values feeding concats crash some
+        # Mosaic versions).
+        free = ((0, None, False, None),)
+        for t in (3, 4, 6):
+            for sk, tag in ((False, "trapezoid"), (True, "wavefront")):
+                try:
+                    production(args.steps, temporal=t, segs=free,
+                               tag=f"free {tag}", skew=sk)
+                except Exception as e:
+                    print(f"skew free T={t} {tag}: FAILED "
+                          f"({type(e).__name__}: {str(e)[:150]})", flush=True)
+        for t in (3, 4, 6):
+            for sk, tag in ((False, "trapezoid"), (True, "wavefront")):
+                try:
+                    production(args.steps, temporal=t, scene="reference",
+                               tag=f"ref {tag}", skew=sk)
+                except Exception as e:
+                    print(f"skew ref T={t} {tag}: FAILED "
+                          f"({type(e).__name__}: {str(e)[:150]})", flush=True)
+        try:
+            production(args.steps, temporal=4, segs=free, skew=True,
+                       tag="free wavefront CONCAT",
+                       ablate=frozenset({"skewconcat"}))
+        except Exception as e:
+            print(f"skew concat probe: FAILED "
+                  f"({type(e).__name__}: {str(e)[:150]})", flush=True)
+        for t in (2, 3):
+            try:
+                production(args.steps, temporal=t, scene="reference",
+                           dtype="bfloat16", tag="ref wavefront", skew=True)
+            except Exception as e:
+                print(f"skew bf16 T={t}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:150]})", flush=True)
     if args.section in ("all", "split"):
         B = ((17, 8, True), (0, 17, False))
         cases = [

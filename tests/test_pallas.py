@@ -613,3 +613,120 @@ def test_panels_reject_slip_and_slip_avoids_auto_panels():
         slip_x=jnp.asarray(np.roll(walls_w, 1, axis=0)),
     )
     assert sess.plan is None  # XLA fallback, not an unvalidated panel run
+
+
+# ------------------------------------------------------------------ skew
+# Wavefront time-skewing of the wall-free segments (fused_kernel's
+# emit_carry / skew launches): fixed parallelogram windows with a
+# 2-row-per-time-level carry passed block-to-block through the
+# sequential grid. Mathematically identical to the classic trapezoid
+# windows; interpret-mode results differ only by XLA fusion (fma) noise
+# (~1 ulp), so the equalities here are tight allclose, and the impulse
+# test pins the carry indexing exactly (any row/level misindex would be
+# an O(impulse) error, not noise).
+
+
+def _rough_state(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    f0 = np.asarray(initial_state(cfg), np.float64)
+    f0 *= 1.0 + 0.05 * rng.standard_normal(f0.shape)
+    return np.abs(f0).astype(cfg.dtype)
+
+
+def _run_skewpair(cfg, walls, n, temporal, **kw):
+    a = fk.run_steps(jnp.asarray(_rough_state(cfg)), jnp.asarray(walls),
+                     cfg, n, interpret=True, temporal=temporal, skew=False,
+                     **kw)
+    b = fk.run_steps(jnp.asarray(_rough_state(cfg)), jnp.asarray(walls),
+                     cfg, n, interpret=True, temporal=temporal, skew=True,
+                     **kw)
+    return np.asarray(a), np.asarray(b)
+
+
+def test_skew_matches_classic_periodic_box():
+    """Pure periodic box: one full-grid free run -> emit_carry trapezoid
+    for block 0 + a 3-block wavefront launch (nx=128, br=32)."""
+    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
+    walls = geometry.empty(cfg.nx, cfg.ny)
+    a, b = _run_skewpair(cfg, walls, 24, 3)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("temporal", [2, 3])
+def test_skew_matches_classic_masked_scene(temporal):
+    """Masked + free runs (channel walls + barrier): the skew rewrite
+    applies only to the free run; masked trapezoids are untouched."""
+    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    walls[60:70, 10:13] = True
+    a, b = _run_skewpair(cfg, walls, 4 * temporal, temporal)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_skew_remainder_steps():
+    """A step count off the 2T multiple exercises the T=1 remainder
+    passes, which never skew."""
+    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    a, b = _run_skewpair(cfg, walls, 14, 3)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_skew_bf16_storage():
+    """bf16 storage: the carry and bounce scratch stay f32 (the compute
+    precision), so skew tracks the classic kernel at the same noise
+    scale as any bf16 graph change."""
+    cfg = LatticeConfig(nx=128, ny=40, dtype="bfloat16")
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    a, b = _run_skewpair(cfg, walls, 8, 2)
+    np.testing.assert_allclose(
+        a.astype(np.float32), b.astype(np.float32), rtol=0, atol=2e-3
+    )
+
+
+def test_skew_matches_golden():
+    """Anchor skew to the float64 golden oracle directly (not just to
+    the classic kernel)."""
+    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    walls[60:70, 10:13] = True
+    f0 = jnp.asarray(initial_state(cfg))
+    out = np.asarray(fk.run_steps(f0, jnp.asarray(walls), cfg, 4,
+                                  interpret=True, temporal=2, skew=True))
+    ref = _run_golden64(cfg, walls, 4)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
+
+
+def test_skew_probed_runner():
+    """run_steps_probed with skew: same final state and probe series."""
+    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    probes = np.array([[5, 7], [64, 20]])
+    f0 = _rough_state(cfg)
+    fa, sa = fk.run_steps_probed(jnp.asarray(f0), jnp.asarray(walls), cfg,
+                                 12, probes, every=6, interpret=True,
+                                 skew=False)
+    fb, sb = fk.run_steps_probed(jnp.asarray(f0), jnp.asarray(walls), cfg,
+                                 12, probes, every=6, interpret=True,
+                                 skew=True)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                               rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("row", [33, 34, 63, 64, 127, 0])
+def test_skew_impulse_carry_boundaries(row):
+    """A delta impulse at carry-critical rows (block edges, the wrap)
+    must propagate identically: a carry row/time-level misindex would
+    surface as an O(impulse) difference, not fma noise."""
+    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
+    walls = geometry.empty(cfg.nx, cfg.ny)
+    f0 = initial_state(cfg)
+    f0[1, row, 17] += 0.05
+    a = fk.run_steps(jnp.asarray(f0.copy()), jnp.asarray(walls), cfg, 12,
+                     interpret=True, temporal=3, skew=False)
+    b = fk.run_steps(jnp.asarray(f0.copy()), jnp.asarray(walls), cfg, 12,
+                     interpret=True, temporal=3, skew=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=1e-6)
