@@ -46,7 +46,8 @@ def round_up(x: int, m: int) -> int:
 
 
 def _vmem_need(
-    br: int, slots: int, nyp: int, itemsize: int, temporal: int, walls_dma: bool = True
+    br: int, slots: int, nyp: int, itemsize: int, temporal: int,
+    walls_dma: bool = True, skew: bool = False,
 ) -> int:
     # staging slots + double-buffered output in the storage dtype, plus
     # ~2 live compute windows — ALWAYS float32 (bf16 storage computes in
@@ -59,6 +60,10 @@ def _vmem_need(
     need += 2 * 9 * (br + 2 * temporal) * nyp * max(itemsize, 4)
     if walls_dma:
         need += slots * br * nyp * 4
+    if skew:
+        # the wavefront launch's f32 bounce + carry scratch (always f32:
+        # the compute precision, independent of the storage dtype)
+        need += 9 * (br + 2 * temporal) * nyp * 4
     return need
 
 
@@ -70,7 +75,8 @@ VMEM_BUDGET = 97 * 1024 * 1024
 
 
 def pick_block_config(
-    nx: int, nyp: int, itemsize: int = 4, temporal: int = 4, walls_dma: bool = True
+    nx: int, nyp: int, itemsize: int = 4, temporal: int = 4,
+    walls_dma: bool = True, skew: bool = False,
 ) -> tuple[int, int]:
     """(block_rows, staging_slots): the best block of (32, 40, 24, 16,
     8) dividing NX that fits the VMEM budget, with 6 staging slots when
@@ -82,7 +88,10 @@ def pick_block_config(
         if nx % br:
             continue
         for slots in (6, 4):
-            if _vmem_need(br, slots, nyp, itemsize, temporal, walls_dma) <= VMEM_BUDGET:
+            if (
+                _vmem_need(br, slots, nyp, itemsize, temporal, walls_dma, skew)
+                <= VMEM_BUDGET
+            ):
                 return br, slots
     return 0, 0
 
@@ -550,15 +559,19 @@ def _make_kernel(
         # warm-up at i=0: start the first SLOTS-1 issues; every step
         # prefetches issue i+SLOTS-1 while computing block i — the TPU
         # version of the reference's software prefetch of the next
-        # vector block (src/latticeboltzmann.c:350-358)
+        # vector block (src/latticeboltzmann.c:350-358). The skew
+        # kernel never reads issue 0's slot (the s_top halo role is
+        # replaced by the carry scratch), so its pipeline starts at
+        # issue 1 — one whole dead block DMA saved per launch.
+        k_first = 1 if skew else 0
+
         @pl.when(i == 0)
         def _():
-            for k in range(min(SLOTS - 1, length + 2)):
+            for k in range(k_first, min(SLOTS - 1, length + 2)):
                 begin(k)
-            wait(0)
-            wait(1)
-            remirror(0)  # SLOTS >= 4, so issues 0 and 1 sit in slots 0, 1
-            remirror(1)
+            for k in range(k_first, 2):
+                wait(k)
+                remirror(k)  # SLOTS >= 4, so issues 0, 1 sit in slots 0, 1
 
         @pl.when(i + SLOTS - 1 < length + 2)
         def _():
@@ -1197,7 +1210,8 @@ def make_step(
         w_eff = nyp if panels == 1 else nyp // panels + 2 * LANE
         slots = (
             6
-            if _vmem_need(br, 6, w_eff, itemsize, temporal, walls_dma) <= VMEM_BUDGET
+            if _vmem_need(br, 6, w_eff, itemsize, temporal, walls_dma, skew)
+            <= VMEM_BUDGET
             else 4
         )
     kernel = _make_kernel(
@@ -1447,14 +1461,14 @@ def _pick_panels(nx: int, nyp: int, itemsize: int, walls_dma: bool):
 
 
 def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma,
-          allow_panels: bool = True):
+          allow_panels: bool = True, skew: bool = False):
     """Shared launch planning for run_steps / run_steps_probed:
     (nyp, lpad, br, temporal, row_shift, segs, panels), or None to fall
     back to the XLA engine (odd shapes, float64, degenerate widths)."""
     t0 = DEFAULT_TEMPORAL if temporal is None else temporal
     nyp, lpad = pick_layout(cfg.ny, max(t0, 1))
     itemsize = np.dtype(cfg.dtype).itemsize
-    br = pick_block_config(nx, nyp, itemsize, walls_dma=walls_dma)[0]
+    br = pick_block_config(nx, nyp, itemsize, walls_dma=walls_dma, skew=skew)[0]
     panels = 1
     if allow_panels and br == 0:
         # the 2-D lane-panel grid: a capability fallback for lattices so
@@ -2044,6 +2058,7 @@ class Session:
         self.plan = _plan(
             cfg, self.nx, self.mask, temporal, interpret, wall_spec is None,
             allow_panels=not has_slip,  # the panel kernel has no slip path
+            skew=self.skew,
         )
         self._f_p = None
         self._chk = None
@@ -2286,10 +2301,14 @@ def run_steps_probed(
     slip_y=None,
     fast_math: bool = False,
     skew: bool | None = None,
+    temporal: int | None = None,
 ):
     """(f_final, series): advance n_steps sampling probes every `every`
     steps, all on device with one host sync. series: (n_steps//every, P, 3).
-    """
+
+    temporal overrides the planner's depth (interpret mode plans T=1,
+    under which the skew rewrite never engages — tests pass an explicit
+    T>=2 with a matching `every` to exercise the probed skew path)."""
     from . import stream_collide
 
     if n_steps % every:
@@ -2299,8 +2318,9 @@ def run_steps_probed(
         wall_spec = None
     nx = f.shape[1]
     mask = class_plane(walls, slip_x, slip_y) if has_slip else walls
-    plan = _plan(cfg, nx, mask, None, interpret, wall_spec is None,
-                 allow_panels=False)
+    skew = SKEW_DEFAULT if skew is None else skew
+    plan = _plan(cfg, nx, mask, temporal, interpret, wall_spec is None,
+                 allow_panels=False, skew=skew)
     if plan is None:
         fout, series = stream_collide.run_steps_probed(
             f, walls, cfg, n_steps, probes, slip_x, slip_y
@@ -2319,8 +2339,7 @@ def run_steps_probed(
     )
     runner = _make_probed_runner(
         cfg, nx, nyp, br, interpret, every, temporal, n_steps // every,
-        wall_spec, has_slip, lpad, segs, row_shift, fast_math,
-        SKEW_DEFAULT if skew is None else skew,
+        wall_spec, has_slip, lpad, segs, row_shift, fast_math, skew,
     )
     fout_p, series = runner(f_p, walls_p, probes)
     return unpad_state(fout_p, cfg, lpad, row_shift), series

@@ -350,12 +350,21 @@ def production(n_steps, temporal=4, dtype="float32", segs=None, use_spec=True,
         finally:
             fk.make_step = _orig
 
+        # same pad-remirror cadence as _make_runner: every
+        # refresh_interval() passes (an it==0-only refresh would let the
+        # pads decay past validity AND exclude the periodic remirror
+        # cost from the measurement)
+        K = fk.refresh_interval(lpad, nyp - lpad - NY, NY, temporal)
+
         @jax.jit
         def runner(f_p, walls_p, n_pairs, k1, odd):
             def body(it, c):
                 a, b = c
-                b = one_pass(a, b, walls_p, fk._flag(it == 0))
-                a = one_pass(b, a, walls_p, fk._flag(False))
+                p0 = 2 * jnp.asarray(it, jnp.int32)
+                b = one_pass(a, b, walls_p,
+                             fk._flag(jax.lax.rem(p0, jnp.int32(K)) == 0))
+                a = one_pass(b, a, walls_p,
+                             fk._flag(jax.lax.rem(p0 + 1, jnp.int32(K)) == 0))
                 return (a, b)
             a, b = jax.lax.fori_loop(
                 0, n_pairs, body, (f_p, jnp.zeros_like(f_p)))

@@ -652,13 +652,28 @@ def test_skew_matches_classic_periodic_box():
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
 
 
+def _skew_scene():
+    """channel + barrier at nx=256 whose partition contains BOTH a
+    >= 2-block free run (the skew rewrite engages: emit_carry + skew
+    launches) and a 1-block free run (stays a plain trapezoid) —
+    asserted, so plan drift can't silently turn these tests vacuous."""
+    walls = geometry.channel(256, 40)
+    walls[96:106, 10:13] = True
+    return walls
+
+
 @pytest.mark.parametrize("temporal", [2, 3])
 def test_skew_matches_classic_masked_scene(temporal):
-    """Masked + free runs (channel walls + barrier): the skew rewrite
-    applies only to the free run; masked trapezoids are untouched."""
-    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
-    walls = geometry.channel(cfg.nx, cfg.ny)
-    walls[60:70, 10:13] = True
+    """Masked + free runs: the skew rewrite applies only to the free
+    runs; masked trapezoids are untouched."""
+    cfg = LatticeConfig(nx=256, ny=40, dtype=np.float32)
+    walls = _skew_scene()
+    nyp, lpad = fk.pick_layout(cfg.ny, temporal)
+    _, segs = fk.wall_partition_regions(
+        np.asarray(walls), 32, temporal, cfg.ny, nyp, lpad
+    )
+    free_lens = sorted(ln for _, ln, wm, _ in segs if not wm)
+    assert free_lens == [1, 3]  # one skewable run, one single-block run
     a, b = _run_skewpair(cfg, walls, 4 * temporal, temporal)
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
 
@@ -686,10 +701,10 @@ def test_skew_bf16_storage():
 
 def test_skew_matches_golden():
     """Anchor skew to the float64 golden oracle directly (not just to
-    the classic kernel)."""
-    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
-    walls = geometry.channel(cfg.nx, cfg.ny)
-    walls[60:70, 10:13] = True
+    the classic kernel), on a scene whose partition has a real
+    >= 2-block free run (see _skew_scene)."""
+    cfg = LatticeConfig(nx=256, ny=40, dtype=np.float32)
+    walls = _skew_scene()
     f0 = jnp.asarray(initial_state(cfg))
     out = np.asarray(fk.run_steps(f0, jnp.asarray(walls), cfg, 4,
                                   interpret=True, temporal=2, skew=True))
@@ -698,17 +713,20 @@ def test_skew_matches_golden():
 
 
 def test_skew_probed_runner():
-    """run_steps_probed with skew: same final state and probe series."""
-    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
-    walls = geometry.channel(cfg.nx, cfg.ny)
-    probes = np.array([[5, 7], [64, 20]])
+    """run_steps_probed with skew: same final state and probe series.
+    Interpret mode plans T=1 (under which skew never engages), so the
+    explicit temporal=2 with every=4 is what makes the probed runner
+    actually build emit_carry + skew launches."""
+    cfg = LatticeConfig(nx=256, ny=40, dtype=np.float32)
+    walls = _skew_scene()
+    probes = np.array([[5, 7], [130, 20]])
     f0 = _rough_state(cfg)
     fa, sa = fk.run_steps_probed(jnp.asarray(f0), jnp.asarray(walls), cfg,
-                                 12, probes, every=6, interpret=True,
-                                 skew=False)
+                                 8, probes, every=4, interpret=True,
+                                 temporal=2, skew=False)
     fb, sb = fk.run_steps_probed(jnp.asarray(f0), jnp.asarray(walls), cfg,
-                                 12, probes, every=6, interpret=True,
-                                 skew=True)
+                                 8, probes, every=4, interpret=True,
+                                 temporal=2, skew=True)
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
