@@ -87,6 +87,12 @@ def main() -> int:
     ap.add_argument("--ny", type=int, default=4000)
     ap.add_argument("--warmup", type=int, default=96)
     ap.add_argument("--e2e-runs", type=int, default=3)
+    ap.add_argument("--skew", dest="skew", action="store_true", default=None,
+                    help="wavefront time-skewed wall-free launches "
+                         "(--no-skew forces off; default = framework default)")
+    ap.add_argument("--no-skew", dest="skew", action="store_false")
+    ap.add_argument("--temporal", type=int, default=None,
+                    help="temporal blocking depth override (A/B runs)")
     args = ap.parse_args()
 
     from latticeboltzmann_tpu.utils.tpulock import tpu_lock
@@ -118,7 +124,8 @@ def _measure(args, lock_ok: bool) -> int:
     # 567-573) — its published 800x4000 numbers ran this geometry
     walls = geometry.reference_barrier(cfg.nx, cfg.ny)
 
-    sim = Simulation(cfg, walls, backend=backend)
+    sim = Simulation(cfg, walls, backend=backend, skew=args.skew,
+                     temporal=args.temporal)
     sim.run(args.warmup)  # compile + warm caches; excluded from timing
 
     def timed(n: int) -> float:

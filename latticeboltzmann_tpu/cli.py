@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "err 1.6e-5) — the reference's -Ofast analog "
                         "(Makefile:2); measured slower than IEEE division "
                         "in the current kernel, so off by default")
+    p.add_argument("--skew", dest="skew", action="store_true", default=None,
+                   help="wavefront time-skewing of the wall-free segment "
+                        "launches on the pallas backends (fixed parallelogram "
+                        "windows, zero overlap recompute at any temporal "
+                        "depth); --no-skew forces it off; default follows "
+                        "the framework's measured default")
+    p.add_argument("--no-skew", dest="skew", action="store_false")
     p.add_argument("--debug-nans", action="store_true",
                    help="abort on NaN/inf like the reference's "
                         "feenableexcept trap (src/latticeboltzmann.c:129)")
@@ -116,7 +123,7 @@ def main(argv=None) -> int:
         start_step, f0, walls, cfg = checkpoint.load(path)
         print(f"resumed from {path} at step {start_step}")
         sim = Simulation(cfg, walls, backend=resolve_backend(args.backend), f0=f0,
-                         fast_math=args.fast_math)
+                         fast_math=args.fast_math, skew=args.skew)
     else:
         cfg = LatticeConfig(
             nx=args.nx, ny=args.ny, tau=args.tau, csq=args.csq,
@@ -124,7 +131,7 @@ def main(argv=None) -> int:
         )
         walls = geometry.build(args.geometry, cfg.nx, cfg.ny)
         sim = Simulation(cfg, walls, backend=resolve_backend(args.backend),
-                         fast_math=args.fast_math)
+                         fast_math=args.fast_math, skew=args.skew)
 
     # size from the config actually used (on --resume the checkpoint's
     # dtype wins over --precision)

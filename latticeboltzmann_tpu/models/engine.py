@@ -127,9 +127,17 @@ class Simulation:
         slip_x: np.ndarray | None = None,
         slip_y: np.ndarray | None = None,
         fast_math: bool = False,
+        skew: bool | None = None,
+        temporal: int | None = None,
     ):
         self.cfg = cfg
         self.fast_math = fast_math
+        # wavefront time-skewing of the wall-free segment launches on
+        # the pallas backends (fused_kernel SKEW_DEFAULT when None),
+        # and the temporal-blocking depth override (planner default
+        # when None) — both A/B knobs for bench.py / anatomy runs
+        self.skew = skew
+        self.temporal = temporal
         if walls is None:
             walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
         if walls.shape != (cfg.nx, cfg.ny):
@@ -221,6 +229,8 @@ class Simulation:
                 slip_x=self.slip_x,
                 slip_y=self.slip_y,
                 fast_math=self.fast_math,
+                skew=self.skew,
+                temporal=self.temporal,
             )
         return self._session if self._session.plan is not None else None
 
@@ -236,6 +246,10 @@ class Simulation:
             kwargs["slip_y"] = self.slip_y
         if self.fast_math and self.backend in _FASTMATH_BACKENDS:
             kwargs["fast_math"] = True
+        if self.skew is not None and self.backend in ("pallas", "pallas-interpret"):
+            kwargs["skew"] = self.skew
+        if self.temporal is not None and self.backend in ("pallas", "pallas-interpret"):
+            kwargs["temporal"] = self.temporal
         return kwargs
 
     def run(self, n_steps: int, *, block: bool = True) -> "Simulation":
