@@ -62,8 +62,9 @@ def _vmem_need(
         need += slots * br * nyp * 4
     if skew:
         # the wavefront launch's f32 bounce + carry scratch (always f32:
-        # the compute precision, independent of the storage dtype)
-        need += 9 * (br + 2 * temporal) * nyp * 4
+        # the compute precision, independent of the storage dtype; the
+        # carry keeps each 2-row level in an 8-row aligned slot)
+        need += 9 * (br + 8 * temporal) * nyp * 4
     return need
 
 
@@ -1090,10 +1091,18 @@ def _make_kernel(
             'skewconcat' ablate keeps the direct dataflow instead (a
             hardware compile/perf probe). f32 bouncing keeps bf16
             storage runs bitwise-equal to the trapezoid kernel, which
-            also computes whole passes in f32."""
+            also computes whole passes in f32.
+
+            c_ref keeps each 2-row carry level in its own 8-row slot
+            (tile-boundary-aligned masked accesses, the safest subtile
+            shape for Mosaic); the HBM seed stays compact at 2 rows per
+            level — it crosses HBM once per pass."""
             @pl.when(i == 0)
             def _():
-                c_ref[...] = carr_in[...].astype(jnp.float32)
+                for t in range(T):
+                    c_ref[:, 8 * t : 8 * t + 2, :] = carr_in[
+                        :, 2 * t : 2 * t + 2, :
+                    ].astype(jnp.float32)
 
             direct = "skewconcat" in ablate
             ff = None
@@ -1120,9 +1129,9 @@ def _make_kernel(
                     # place with mine for block b+1 (my window's top two
                     # rows at level t — program order keeps the load
                     # before the store)
-                    c_t = c_ref[s, 2 * t : 2 * t + 2, :]
+                    c_t = c_ref[s, 8 * t : 8 * t + 2, :]
                     win.append(jnp.concatenate([c_t, cur[s]], axis=0))
-                    c_ref[s, 2 * t : 2 * t + 2, :] = cur[s][br - 2 :, :]
+                    c_ref[s, 8 * t : 8 * t + 2, :] = cur[s][br - 2 :, :]
                 if "force" not in ablate:
                     win = forced(win, None)
                 ff = stream_collide_window(win, None, None)
@@ -1326,7 +1335,7 @@ def make_step(
             + ([pltpu.VMEM((2, NSPEEDS, HR, nyp), cfg.dtype),
                 pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
                if rdma else [])
-            + ([pltpu.VMEM((NSPEEDS, 2 * temporal, nyp), jnp.float32),  # carry
+            + ([pltpu.VMEM((NSPEEDS, 8 * temporal, nyp), jnp.float32),  # carry
                 pltpu.VMEM((NSPEEDS, br, nyp), jnp.float32)]            # bounce
                if skew else [])
         ),
