@@ -318,8 +318,16 @@ class Simulation:
             from ..ops import fused_kernel
 
             t0 = time.perf_counter()
+            # same donation discipline as run(): run_steps_probed donates
+            # its input, so never hand it an array a caller may still
+            # hold (the f-property's "stays valid" contract)
+            src = self._f
+            if src is None and self._session is not None and self._session.loaded:
+                src = self._session.state()  # fresh unpadded copy
+            elif self._f_leaked:
+                src = jnp.array(src, copy=True)
             self.f, series = fused_kernel.run_steps_probed(
-                self.f, self.walls, self.cfg, n_steps, probes,
+                src, self.walls, self.cfg, n_steps, probes,
                 every=every,
                 interpret=self.backend == "pallas-interpret",
                 **self._backend_kwargs(),

@@ -1491,6 +1491,14 @@ def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma,
             br, panels = br2, p2
     if br == 0 or np.dtype(cfg.dtype) == np.float64 or cfg.ny < max(t0, 1):
         return None
+    if temporal is not None and not (1 <= temporal <= br):
+        # fail fast at plan time: _make_kernel's own T<=br check would
+        # otherwise surface only after minutes of tunnel compile, and a
+        # negative fbody[..., br-T:] slice gives an opaque shape error
+        raise ValueError(
+            f"temporal={temporal} must be in [1, {br}] (block rows at "
+            f"nx={nx}, ny={cfg.ny}, {np.dtype(cfg.dtype).name})"
+        )
     if temporal is None:
         # interpreter mode is a semantics tool — temporal blocking only
         # multiplies its cost. T=2 measured fastest for bf16 (19.2k vs
@@ -1532,7 +1540,13 @@ def _segs_at(cfg: LatticeConfig, nx: int, mask, br: int, temporal: int,
     the state was padded with — select regions anchor to the window
     height br + 2*T, so a T=4 region is misaligned in a T=1 kernel."""
     if 9 * nx * nyp * np.dtype(cfg.dtype).itemsize > 10**9:
-        return ((0, None, True, None),)  # single launch: see _plan
+        # DELIBERATE remainder-only opt-out (the main pass segments at
+        # every size since the Session phase split removed _plan's >1 GB
+        # opt-out): remainder/probed T=1 passes run a handful of steps
+        # per call, so their partition would buy microseconds while its
+        # extra launch chain re-raises the >1 GB liveness pressure the
+        # split fixed — one full-mask launch is the safe, cheap choice
+        return ((0, None, True, None),)
     return wall_partition_regions(
         np.asarray(mask), br, temporal, cfg.ny, nyp, lpad, rebase=row_shift
     )[1]
@@ -2133,10 +2147,14 @@ class Session:
             # multiple: upgrade to the fully dynamic runner (lru-cached)
             self._with_remainder = True
             self._runner = self._build_runner(True)
-        a, b, chk = self._runner(
-            self._f_p, self._walls_p, n_pairs, rem // 2, rem % 2
-        )
-        self._f_p = None  # donated: dead name until reassigned
+        # hand the state over BEFORE dispatch: the runner donates it, so
+        # if the dispatch raises (the tunnel's UNAVAILABLE mid-run
+        # failure mode) the session must read as unloaded — keeping the
+        # reference would leave it pointing at a deleted buffer and every
+        # later advance()/state() would die with "Array has been deleted"
+        # instead of a clean reload
+        f_p, self._f_p, self._chk = self._f_p, None, None
+        a, b, chk = self._runner(f_p, self._walls_p, n_pairs, rem // 2, rem % 2)
         # never retain the dead scratch: at 4000x16000 each buffer is
         # 2.3 GB and a third live buffer OOMs the chip during unpad
         del b

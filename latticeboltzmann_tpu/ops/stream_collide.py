@@ -186,7 +186,14 @@ def run_steps(
 def probe_moments(cols: jax.Array) -> jax.Array:
     """(rho, u_x, u_y) from gathered per-site distribution columns
     (9, P) -> (P, 3). Shared by the local and sharded probe gathers so
-    their association order (and hence bitwise results) agree."""
+    their association order (and hence bitwise results) agree.
+
+    Accumulates in at least float32: with bf16 storage the 9-term
+    density sum and the u_y difference would otherwise round at ~3
+    decimal digits and read exactly 0.0 for sub-quantum flows — the
+    same signal-loss reynolds() guards against (its f32-reduction fix,
+    docs/NUMERICS.md)."""
+    cols = cols.astype(jnp.promote_types(cols.dtype, jnp.float32))
     density = cols[0]
     for s in range(1, NSPEEDS):
         density = density + cols[s]

@@ -146,3 +146,26 @@ def test_sharded_pallas_fused_probes_odd_every():
     ref = Simulation(cfg, walls, backend="xla")
     s1 = ref.run_probed(6, PROBES)
     np.testing.assert_allclose(s, s1[2::3], rtol=1e-5, atol=1e-7)
+
+
+def test_probe_moments_accumulate_f32_for_bf16():
+    """bf16 probe gathers must accumulate moments in float32 (the same
+    signal-loss guard reynolds() has): sub-quantum u_y asymmetries in
+    bf16-stored distributions survive the reduction."""
+    import jax.numpy as jnp
+
+    from latticeboltzmann_tpu.core.spec import W
+    from latticeboltzmann_tpu.ops.stream_collide import probe_moments
+
+    cols64 = np.broadcast_to(0.1 * W[:, None], (9, 4)).copy()
+    cols64[1] += 1e-4  # tiny +y excess
+    cols16 = jnp.asarray(cols64, jnp.bfloat16)
+    out = probe_moments(cols16)
+    assert out.dtype == jnp.float32
+    # reference: the same bf16-quantized values reduced in float64
+    ref_cols = np.asarray(cols16, np.float64)
+    rho = ref_cols.sum(axis=0)
+    u_y = (ref_cols[5] + ref_cols[1] + ref_cols[8]
+           - (ref_cols[6] + ref_cols[3] + ref_cols[7])) / rho
+    np.testing.assert_allclose(np.asarray(out)[:, 2], u_y, rtol=1e-5)
+    assert (np.asarray(out)[:, 2] > 0).all()  # the signal survived
