@@ -153,3 +153,59 @@ def test_rdma_ring_on_tpu():
         )
     assert proc.returncode == 0, out[-4000:]
     assert "RDMA_RING_OK" in proc.stdout, out[-4000:]
+
+
+_SKEW_SMOKE = r"""
+import numpy as np
+import jax
+
+if jax.default_backend() != "tpu":
+    print("NO_TPU_BACKEND")
+    raise SystemExit(3)
+
+from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+
+# compiled wavefront (skew) kernel vs the trapezoid kernel on a scene
+# whose partition contains a multi-block free run: nx=256, barrier at
+# rows [96, 106) -> masked {0-1, 6-7}, free runs of 1 and 3 blocks
+# (mirrors tests/test_pallas.py::_skew_scene). Equality is bitwise: the
+# Mosaic-compiled arithmetic DAG per site is identical.
+cfg = LatticeConfig(nx=256, ny=256, dtype=np.float32)
+walls = geometry.channel(cfg.nx, cfg.ny)
+walls[96:106, 10:13] = True
+a = Simulation(cfg, walls, backend="pallas", skew=True, temporal=3).run(18).state()
+b = Simulation(cfg, walls, backend="pallas", skew=False, temporal=3).run(18).state()
+assert np.isfinite(a).all() and (a >= 0).all(), "skew state not finite/positive"
+d = float(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max())
+print("skew-vs-trapezoid max|d|:", d)
+assert d <= 1e-6, f"skew != trapezoid on chip, maxdiff {d}"
+print("SKEW_OK")
+"""
+
+
+@pytest.mark.tpu
+def test_skew_kernel_on_tpu():
+    """Compiled wavefront (time-skewed) kernel vs the trapezoid kernel
+    on the real chip: validates the Mosaic lowering of the carry
+    scratch/bounce pattern that interpret mode cannot (the roll+concat
+    crash class lives in the layout pass)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = _run_on_chip(
+        [sys.executable, "-c", _SKEW_SMOKE],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    out = proc.stdout + proc.stderr
+    if proc.returncode == 3 and "NO_TPU_BACKEND" in out:
+        pytest.skip("no TPU backend reachable")
+    if proc.returncode != 0 and (
+        "Unable to initialize backend" in out or "remote_compile" in out
+    ):
+        pytest.skip(f"TPU tunnel unavailable/flaky: {out[-500:]}")
+    assert proc.returncode == 0, out[-4000:]
+    assert "SKEW_OK" in proc.stdout, out[-4000:]
