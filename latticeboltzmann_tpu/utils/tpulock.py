@@ -54,6 +54,11 @@ def tpu_lock(wait_s: float = 1800.0, path: str = LOCK_PATH):
         yield False
         return
     acquired = False
+    # Bind the cleanup callables as locals: a holder that lives until
+    # interpreter shutdown (scripts/anatomy.py holds the lock for the
+    # process lifetime) runs this finally during module teardown, when
+    # the fcntl/os module globals may already be cleared to None.
+    _flock, _unlock, _close = fcntl.flock, fcntl.LOCK_UN, os.close
     try:
         deadline = time.monotonic() + wait_s
         warned = False
@@ -86,7 +91,7 @@ def tpu_lock(wait_s: float = 1800.0, path: str = LOCK_PATH):
     finally:
         if acquired:
             try:
-                fcntl.flock(fd, fcntl.LOCK_UN)
+                _flock(fd, _unlock)
             except OSError:
                 pass
-        os.close(fd)
+        _close(fd)
