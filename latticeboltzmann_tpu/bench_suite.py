@@ -32,6 +32,17 @@ CONFIGS = [
      None, "no reference datapoint at this size"),
     ("800x4000 bf16-storage (headline scene)", 800, 4000, "bf16", "reference", "pallas",
      14.38, "AMD R9 280X OpenCL SP (README.md:90)"),
+    # precision-table completion: the reference publishes SP and DP at
+    # each of its three lattice sizes (README.md:66-90); these three
+    # rows fill the combinations the configs above don't cover. DP runs
+    # on the XLA engine (f64 is software-emulated on TPU — a correctness
+    # config, not a perf config; step count capped like config 1).
+    ("400x2000 f32 (reference default scene)", 400, 2000, "f32", "reference", "pallas",
+     4.21, "AMD R9 280X OpenCL SP (README.md:73)"),
+    ("400x4000 f64 (emulated DP)", 400, 4000, "f64", "reference", "xla",
+     13.76, "AMD R9 280X OpenCL DP (README.md:80)"),
+    ("800x4000 f64 (emulated DP)", 800, 4000, "f64", "reference", "xla",
+     27.44, "AMD R9 280X OpenCL DP (README.md:90)"),
 ]
 
 

@@ -298,8 +298,13 @@ def _make_kernel(
         )
     if region is not None and not wall_mode:
         raise ValueError("region only applies to the masked variant")
-    if region is not None and external_halo:
-        raise ValueError("region segments are a local-path optimization")
+    if region is not None and external_halo and (
+        start == 0 or (length is not None and start + length == nx // br)
+    ):
+        # interior sharded segments assemble the same window as local
+        # ones (no halo patching), so regions compose; the edge blocks
+        # keep classic full-window selects
+        raise ValueError("region sharded segments must be interior")
     if emit_carry or skew:
         if wall_mode or external_halo or rdma or region is not None or panels > 1:
             raise ValueError(

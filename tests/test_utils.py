@@ -217,8 +217,9 @@ def test_bench_suite_configs_integrity():
     shapes/backends."""
     from latticeboltzmann_tpu.bench_suite import CONFIGS
 
-    # config 5 runs twice (f32/bf16); the headline scene also has a bf16 row
-    assert len(CONFIGS) == 7
+    # config 5 runs twice (f32/bf16); the headline scene also has a bf16
+    # row; three rows complete the reference's SP/DP x 3-sizes table
+    assert len(CONFIGS) == 10
     precisions = {c[3] for c in CONFIGS}
     assert precisions == {"f64", "f32", "bf16"}
     assert any(c[5] == "sharded-pallas" for c in CONFIGS)
