@@ -46,6 +46,34 @@ CONFIGS = [
 ]
 
 
+# regenerated into BENCH_RESULTS.md on every --out run so the
+# methodology and physics-validation context survive table refreshes
+METHODOLOGY_NOTE = """\
+Timing method: each row is ONE warm end-to-end run (compile + cache
+warmup excluded) from `python -m latticeboltzmann_tpu.bench_suite`;
+per-run Reynolds and sanity bits are in BENCH_RESULTS.jsonl. The
+headline 800x4000 f32 config additionally has the self-defending
+`bench.py` artifact of record (>=3 end-to-end runs + slope-timed
+kernel rate + degraded-environment detection): see `BENCH_r03.json`
+when the driver publishes it, and README for the session-measured
+slope history. Single-run rows through the tunneled chip vary up to
+~10% between sessions; compare rows within one refresh, not across.
+
+Physics validation: every row must show developed flow, not just finite
+fields (`bench_suite` fails a row otherwise). Rows whose probe column
+is physically unreachable within the run (flow spreads at ~the lattice
+sound speed, ~0.58 columns/step: the 4000x16000 rows at the reference's
+ny/2 column; the capped-step f64 DP rows) also probe a column the flow
+HAS reached — `reynolds_developed` in BENCH_RESULTS.jsonl. The
+4000x16000 bf16 row's central-column value is EXACTLY 0.0 (vs f32's
+-1.9e-5 noise) because per-pass bf16 rounding freezes the unreached
+rest state at a symmetric fixed point — diagnosed in docs/NUMERICS.md
+and pinned by `test_bf16_storage_computes_in_f32`. f64 DP rows run the
+XLA engine: double precision is software-emulated on TPU, so they are
+correctness configs (bitwise-comparable to the serial C build), not
+perf configs."""
+
+
 def run_config(name, nx, ny, precision, geo, backend, steps, warmup=200):
     import jax
     import numpy as np
@@ -174,6 +202,8 @@ def main(argv=None) -> int:
             f"Device: {jax.devices()[0]}; steps per config: {steps} "
             "(f64 capped at 2000). MLUPS = NX*NY*steps/runtime/1e6, the",
             "reference's derived metric (BASELINE.md).",
+            "",
+            METHODOLOGY_NOTE,
             "",
             "| Config | Backend | Steps | Runtime (s) | MLUPS | vs baseline | Baseline HW |",
             "|---|---|---|---|---|---|---|",
