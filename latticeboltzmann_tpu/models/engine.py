@@ -250,6 +250,12 @@ class Simulation:
             kwargs["skew"] = self.skew
         if self.temporal is not None and self.backend in ("pallas", "pallas-interpret"):
             kwargs["temporal"] = self.temporal
+        if self.backend in (
+            "sharded-pallas", "sharded-pallas-interpret", "sharded-pallas-rdma"
+        ):
+            # host-side mask for the union wall partition (the sharded
+            # analog of Session's plan; never a device fetch)
+            kwargs["mask"] = self.walls_np
         return kwargs
 
     def run(self, n_steps: int, *, block: bool = True) -> "Simulation":

@@ -383,10 +383,12 @@ def _make_kernel(
             hbot = rest.pop(0) if need_bot else None
             if wall_spec is not None:
                 off_ref, rfl_ref, out_ref, fbody, sems = rest
-            else:
+            elif stage_walls:
                 whtop = rest.pop(0) if need_top else None
                 whbot = rest.pop(0) if need_bot else None
                 rfl_ref, out_ref, fbody, wbody, sems = rest
+            else:  # wall-free sharded launch: no mask staging at all
+                rfl_ref, out_ref, fbody, sems = rest
         elif stage_walls:
             rfl_ref, out_ref, fbody, wbody, sems = rest
         else:
@@ -1260,8 +1262,12 @@ def make_step(
         if not rdma:
             in_specs += [halo_spec] * (need_top + need_bot)
         if walls_dma:
+            # wall halos only where the mask is actually read: the
+            # wall-free (wall_mode=False) launch variant never stages
+            # walls, so a union-free sharded edge takes only the f halo
             in_specs += [whalo_spec] * (
-                (need_top + need_bot) if not rdma else 2
+                ((need_top + need_bot) if stage_walls else 0)
+                if not rdma else 2
             )
         else:
             # shard's global row offset, (1,) int32 in SMEM
@@ -1637,54 +1643,19 @@ def _bands(values, gap: int, bound: int):
     return tuple((lo, min(hi, bound)) for lo, hi in bands)
 
 
-def wall_partition_regions(
-    mask, br: int, temporal: int, ny: int, nyp: int, lpad: int,
-    launch_cost: float = 2400.0, rebase: int | None = None,
-):
-    """(row_shift, runs) with runs of (start, length, wall_mode, region):
-    wall_partition refined with a static recompute region per masked run.
-
-    The region decomposes the run's solid sites (in the padded
-    storage-lane space — pad lanes mirror real columns, so walls near
-    the lattice's column edges also cover their pad mirrors) into
-    row-type bands (walls spanning many lanes, e.g. channel walls) and
-    128-aligned lane-type bands (walls spanning few lanes, e.g. a thin
-    barrier). The kernel then evolves such blocks select-free and
-    re-evolves only the band neighborhoods masked (see advance_region).
-    Masked runs are split by a small interval DP balancing recompute
-    area (rows x lane-blocks per block) against the ~4 us fixed cost of
-    an extra kernel launch (launch_cost is in row x lane-block units; a
-    fully-masked 40x32-laneblock block = 1280 units ~= 2.1 us measured,
-    so one launch ~= 2400 units).
-
-    This is what makes the reference scene cheap: its barrier spans 5
-    columns (1 lane block of 32) over 200 rows, and its channel walls
-    span 2 rows over all lanes — neither should pay full-window selects
-    (src/latticeboltzmann.c:437-478 is the reference's analog: a
-    per-VECWIDTH any-wall dispatch)."""
-    # rebase pins the storage-row rotation to a caller-chosen value (a
-    # multiple of br): the remainder/probed runners re-partition at a
-    # different temporal depth than the main runner (regions anchor to
-    # the window height, which depends on T) but must keep the rotation
-    # the state was padded with. Under a pinned rotation one run may
-    # wrap circularly — make_step's wrapping index map handles it (a
-    # few-step diagnostics path, not the hot loop).
-    m = np.asarray(mask, np.float64) > 0
-    nx = m.shape[0]
+def _region_partitioner(sub_b, br: int, temporal: int, ny: int, nyp: int,
+                        lpad: int, launch_cost: float):
+    """The shared region-decomposition + launch-split machinery over
+    per-block (R, nyp) wall submasks (None = solid-free window), used by
+    both the local partition (wall_partition_regions) and the sharded
+    union partition (shard_partition_regions). Returns
+    (region_of, split_run)."""
     T = temporal
-    nb = nx // br
     R = br + 2 * T
     nlb = nyp // LANE
-    m_p = m[:, (np.arange(nyp) - lpad) % ny]
     # lanes the recompute sub-windows must avoid: forcing is applied by
     # a full-width-coordinate patch the lane sub-windows cannot express
     force_lanes = {j for j in range(nyp) if (j - lpad) % ny == 0}
-    sub_b: list = []  # per-block (R, nyp) wall submask, None when free
-    for b in range(nb):
-        rr = np.arange(b * br - T, b * br + br + T) % nx
-        sub = m_p[rr]
-        sub_b.append(sub if sub.any() else None)
-    flags = np.array([s is not None for s in sub_b])
 
     def region_of(blocks):
         """Decompose the run's wall cells into row-type rows (span many
@@ -1763,6 +1734,129 @@ def wall_partition_regions(
             groups.append(blocks[cut[j] : j])
             j = cut[j]
         return list(reversed(groups))
+
+    return region_of, split_run
+
+
+def shard_partition_regions(
+    mask, n_dev: int, br: int, temporal: int, ny: int, nyp: int, lpad: int,
+    launch_cost: float = 2400.0,
+):
+    """(top_wall_mode, interior_runs, bot_wall_mode): the wall-
+    specialization partition for the sharded external-halo path.
+
+    SPMD requires ONE launch set shared by every shard, so the local
+    block grid [0, nb) is partitioned by the UNION of the per-shard
+    window masks: a block's temporal window is masked iff it contains a
+    solid site in ANY shard (a select-free launch stays exact on every
+    shard; shards whose window happens to be free just take the masked
+    kernel's where(False, ...) = identity). On a 1-device mesh the
+    union IS the local partition, recovering the single-chip
+    specialization; multi-device it is conservative by construction.
+
+    interior_runs covers local blocks [1, nb-1) as affine
+    (start, length, wall_mode, region) runs — these launches take no
+    halo inputs, preserving the comm/compute-overlap schedule (the
+    interior compute has no data dependency on the ppermute,
+    README.md:45-51). The two edge blocks stay separate halo-consuming
+    launches; their union flags (returned as
+    top_wall_mode / bot_wall_mode) include the neighbor shard's halo
+    rows, with global x wrap. With nb < 3 there is no interior:
+    interior_runs is () and both flags conservatively OR together
+    (callers keep the single full-shard launch)."""
+    m = np.asarray(mask, np.float64) > 0
+    nx = m.shape[0]
+    T = temporal
+    L = nx // n_dev
+    nb = L // br
+    m_p = m[:, (np.arange(nyp) - lpad) % ny]
+
+    def window_union(b):
+        # local block b's window rows in every shard, with global wrap
+        # (only the edge blocks' windows actually leave their shard)
+        rows = (
+            np.arange(b * br - T, b * br + br + T)[None, :]
+            + np.arange(n_dev)[:, None] * L
+        ) % nx
+        return m_p[rows].any(axis=0)
+
+    sub_b = []
+    for b in range(nb):
+        u = window_union(b)
+        sub_b.append(u if u.any() else None)
+    top_wm = sub_b[0] is not None
+    bot_wm = sub_b[nb - 1] is not None
+    if nb < 3:
+        any_wm = top_wm or bot_wm
+        return any_wm, (), any_wm
+    region_of, split_run = _region_partitioner(
+        sub_b, br, temporal, ny, nyp, lpad, launch_cost
+    )
+    runs: list[list[int]] = [[1]]
+    for b in range(2, nb - 1):
+        if (sub_b[b] is not None) != (sub_b[runs[-1][-1]] is not None):
+            runs.append([b])
+        else:
+            runs[-1].append(b)
+    out = []
+    for run in runs:
+        if sub_b[run[0]] is not None:
+            for g in split_run(run):
+                out.append((g[0], len(g), True, region_of(g)))
+        else:
+            out.append((run[0], len(run), False, None))
+    # masked runs first (measured faster on the local path); edges are
+    # appended by the caller and must stay last (they consume the halos)
+    out.sort(key=lambda t: (not t[2], t[0]))
+    return top_wm, tuple(out), bot_wm
+
+
+def wall_partition_regions(
+    mask, br: int, temporal: int, ny: int, nyp: int, lpad: int,
+    launch_cost: float = 2400.0, rebase: int | None = None,
+):
+    """(row_shift, runs) with runs of (start, length, wall_mode, region):
+    wall_partition refined with a static recompute region per masked run.
+
+    The region decomposes the run's solid sites (in the padded
+    storage-lane space — pad lanes mirror real columns, so walls near
+    the lattice's column edges also cover their pad mirrors) into
+    row-type bands (walls spanning many lanes, e.g. channel walls) and
+    128-aligned lane-type bands (walls spanning few lanes, e.g. a thin
+    barrier). The kernel then evolves such blocks select-free and
+    re-evolves only the band neighborhoods masked (see advance_region).
+    Masked runs are split by a small interval DP balancing recompute
+    area (rows x lane-blocks per block) against the ~4 us fixed cost of
+    an extra kernel launch (launch_cost is in row x lane-block units; a
+    fully-masked 40x32-laneblock block = 1280 units ~= 2.1 us measured,
+    so one launch ~= 2400 units).
+
+    This is what makes the reference scene cheap: its barrier spans 5
+    columns (1 lane block of 32) over 200 rows, and its channel walls
+    span 2 rows over all lanes — neither should pay full-window selects
+    (src/latticeboltzmann.c:437-478 is the reference's analog: a
+    per-VECWIDTH any-wall dispatch)."""
+    # rebase pins the storage-row rotation to a caller-chosen value (a
+    # multiple of br): the remainder/probed runners re-partition at a
+    # different temporal depth than the main runner (regions anchor to
+    # the window height, which depends on T) but must keep the rotation
+    # the state was padded with. Under a pinned rotation one run may
+    # wrap circularly — make_step's wrapping index map handles it (a
+    # few-step diagnostics path, not the hot loop).
+    m = np.asarray(mask, np.float64) > 0
+    nx = m.shape[0]
+    T = temporal
+    nb = nx // br
+    m_p = m[:, (np.arange(nyp) - lpad) % ny]
+    sub_b: list = []  # per-block (R, nyp) wall submask, None when free
+    for b in range(nb):
+        rr = np.arange(b * br - T, b * br + br + T) % nx
+        sub = m_p[rr]
+        sub_b.append(sub if sub.any() else None)
+    flags = np.array([s is not None for s in sub_b])
+    region_of, split_run = _region_partitioner(
+        sub_b, br, temporal, ny, nyp, lpad, launch_cost
+    )
 
     if flags.all() or not flags.any():
         wmode = bool(flags.any())

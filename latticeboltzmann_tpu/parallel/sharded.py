@@ -219,12 +219,25 @@ def make_pallas_run_steps(
     has_slip: bool = False,
     fast_math: bool = False,
     rdma: bool = False,
+    mask=None,
 ):
     """Production multi-chip path: the fused Pallas kernel runs on each
     device's local row block, with the x halos (T rows of f + walls per
     pass, T = temporal depth) delivered by `jax.lax.ppermute` over ICI —
     the TPU-native form of the reference's MPI boundary-row exchange
     (README.md:44-53). Wall halos are static and exchanged once.
+
+    mask (the host-side global walls array, optional) enables wall
+    specialization of the interior launches: SPMD requires one program
+    on every shard, so the local block grid is partitioned by the UNION
+    of the per-shard window masks (fused_kernel.shard_partition_regions)
+    — wall-free runs take the select-free kernel variant and masked runs
+    get recompute regions, exactly like the single-chip path. On a
+    1-device mesh the union IS the local partition, so the sharded row
+    recovers the single-chip wall specialization; multi-device it is
+    conservative (a block is masked if masked in ANY shard). Interior
+    runs take no halo inputs, so the comm/compute overlap schedule is
+    unchanged. None keeps the unspecialized single interior launch.
 
     rdma=True moves the halo exchange INSIDE the kernel
     (pltpu.make_async_remote_copy + neighbor barrier semaphores): each
@@ -259,12 +272,35 @@ def make_pallas_run_steps(
     if br == 0 or cfg.ny < max(t0, 1):
         raise ValueError(f"local rows {L} not tileable; use the 'sharded' XLA backend")
     if temporal is None:
-        temporal = min(fk.DEFAULT_TEMPORAL, br)
+        # same measured heuristic as the local planner (fused_kernel
+        # _plan): T=2 for bf16 storage (halved traffic moves the DMA/VPU
+        # balance; 19.2k vs 18.2k MLUPS at 800x4000) and for VMEM-capped
+        # narrow blocks (shallower windows lose less to row overlap)
+        temporal = min(
+            2
+            if (np.dtype(cfg.dtype) == np.dtype("bfloat16") or br < 32)
+            else fk.DEFAULT_TEMPORAL,
+            br,
+        )
     T = temporal
     refresh_k = fk.refresh_interval(lpad, rpad, cfg.ny, T)
     nb = L // br
 
-    def _trio(tdepth: int):
+    # union-mask wall specialization of the interior launches (slip
+    # masks ride the walls plane as class codes the partitioner does
+    # not speak, so slip runs keep the unspecialized interior)
+    edge_wm = (True, True)
+    int_runs_T = int_runs_1 = None
+    if mask is not None and not rdma and not has_slip and nb >= 3:
+        top_wm, int_runs_T, bot_wm = fk.shard_partition_regions(
+            np.asarray(mask), n_dev, br, T, cfg.ny, nyp, lpad
+        )
+        _, int_runs_1, _ = fk.shard_partition_regions(
+            np.asarray(mask), n_dev, br, 1, cfg.ny, nyp, lpad
+        )
+        edge_wm = (top_wm, bot_wm)
+
+    def _trio(tdepth: int, int_runs=None):
         """The per-pass launch set at one temporal depth.
 
         With >=3 blocks per shard, the pass is split into an interior
@@ -287,14 +323,23 @@ def make_pallas_run_steps(
 
         if rdma or nb < 3:
             return (mk(rdma=rdma),)
-        return (
-            mk(start=1, length=nb - 2),   # interior: no halo inputs
-            mk(start=0, length=1),        # top edge: consumes htop
-            mk(start=nb - 1, length=1),   # bottom edge: consumes hbot
+        if int_runs is None:
+            interior = (mk(start=1, length=nb - 2),)  # no halo inputs
+        else:
+            # union-partitioned interior: masked runs (with recompute
+            # regions where the DP says they pay) first, select-free
+            # runs after — still zero halo inputs per launch
+            interior = tuple(
+                mk(start=s, length=ln, wall_mode=wm, region=reg)
+                for (s, ln, wm, reg) in int_runs
+            )
+        return interior + (
+            mk(start=0, length=1, wall_mode=edge_wm[0]),      # consumes htop
+            mk(start=nb - 1, length=1, wall_mode=edge_wm[1]),  # consumes hbot
         )
 
-    steps_T = _trio(T)
-    steps_1 = _trio(1)
+    steps_T = _trio(T, int_runs_T)
+    steps_1 = _trio(1, int_runs_1)
 
     fspec = P(None, AXIS, None)
     wspec = P(AXIS, None)
@@ -316,9 +361,12 @@ def make_pallas_run_steps(
         up = [(i, (i - 1) % n) for i in range(n)]
         whtop = whbot = offset = None
         if wall_spec is None:
-            # static wall halos: one exchange per run
-            whtop = jax.lax.ppermute(walls_l[L - T :], AXIS, down)
-            whbot = jax.lax.ppermute(walls_l[:T], AXIS, up)
+            # static wall halos: one exchange per run (only the masked
+            # edge launches read them — a union-free edge takes none)
+            if rdma or edge_wm[0]:
+                whtop = jax.lax.ppermute(walls_l[L - T :], AXIS, down)
+            if rdma or edge_wm[1]:
+                whbot = jax.lax.ppermute(walls_l[:T], AXIS, up)
         else:
             # shard's global row offset for the in-kernel iota mask
             offset = (jax.lax.axis_index(AXIS) * L).astype(jnp.int32)[None]
@@ -338,20 +386,29 @@ def make_pallas_run_steps(
             hbot = _remirror(jax.lax.ppermute(src[:, :t, :], AXIS, up))
             wt = wb = None
             if wall_spec is None:
-                wt = whtop[T - t :] if t < T else whtop
-                wb = whbot[:t]
+                if whtop is not None:
+                    wt = whtop[T - t :] if t < T else whtop
+                if whbot is not None:
+                    wb = whbot[:t]
             if len(steps) == 1:
                 if wall_spec is not None:
                     return steps[0](src, donor, walls_l, htop, hbot, offset, rfl)
                 return steps[0](src, donor, walls_l, htop, hbot, wt, wb, rfl)
-            s_int, s_top, s_bot = steps
+            *s_int, s_top, s_bot = steps
+            for st in s_int:
+                if wall_spec is not None:
+                    donor = st(src, donor, walls_l, offset, rfl)
+                else:
+                    donor = st(src, donor, walls_l, rfl)
             if wall_spec is not None:
-                donor = s_int(src, donor, walls_l, offset, rfl)
                 donor = s_top(src, donor, walls_l, htop, offset, rfl)
                 return s_bot(src, donor, walls_l, hbot, offset, rfl)
-            donor = s_int(src, donor, walls_l, rfl)
-            donor = s_top(src, donor, walls_l, htop, wt, rfl)
-            return s_bot(src, donor, walls_l, hbot, wb, rfl)
+            # a union-free edge stages no walls: its launch takes only
+            # the f halo (make_step omits the wall-halo input there)
+            targs = (htop, wt) if edge_wm[0] else (htop,)
+            bargs = (hbot, wb) if edge_wm[1] else (hbot,)
+            donor = s_top(src, donor, walls_l, *targs, rfl)
+            return s_bot(src, donor, walls_l, *bargs, rfl)
 
         return one_pass
 
@@ -513,31 +570,44 @@ def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False,
     fused_kernel.class_plane)."""
     cache: dict = {}
 
-    def _cached(f, walls, cfg, wall_spec, slip_x, slip_y, fast_math):
+    def _cached(f, walls, cfg, wall_spec, slip_x, slip_y, fast_math, mask):
+        import hashlib
+
         from ..ops import fused_kernel as fk
 
         m = mesh if mesh is not None else make_mesh()
         has_slip = slip_x is not None or slip_y is not None
         if has_slip:
             wall_spec = None
+            mask = None  # class codes; the union partitioner skips slip
             walls = fk.class_plane(walls, slip_x, slip_y)
-        key = (m, cfg, interpret, wall_spec, has_slip, fast_math)
+        # the union partition is mask-dependent, so the compiled-runner
+        # cache must key on the mask content (host bool array; ~0.4 MB
+        # packed per 800x4000 call — microseconds, never a device fetch)
+        mkey = None
+        if mask is not None:
+            mask = np.asarray(mask, bool)
+            mkey = (mask.shape, hashlib.sha1(np.packbits(mask).tobytes()).hexdigest())
+        key = (m, cfg, interpret, wall_spec, has_slip, fast_math, mkey)
         if key not in cache:
             cache[key] = make_pallas_run_steps(
                 m, cfg, interpret=interpret, wall_spec=wall_spec,
                 has_slip=has_slip, fast_math=fast_math, rdma=rdma,
+                mask=mask,
             )
         f, walls = shard_state(m, f, walls)
         return cache[key], f, walls
 
     def run(f, walls, cfg, n_steps, wall_spec=None, slip_x=None, slip_y=None,
-            fast_math=False):
-        rs, f, walls = _cached(f, walls, cfg, wall_spec, slip_x, slip_y, fast_math)
+            fast_math=False, mask=None):
+        rs, f, walls = _cached(f, walls, cfg, wall_spec, slip_x, slip_y,
+                               fast_math, mask)
         return rs(f, walls, n_steps)
 
     def run_probed(f, walls, cfg, n_steps, probes, every=1, wall_spec=None,
-                   slip_x=None, slip_y=None, fast_math=False):
-        rs, f, walls = _cached(f, walls, cfg, wall_spec, slip_x, slip_y, fast_math)
+                   slip_x=None, slip_y=None, fast_math=False, mask=None):
+        rs, f, walls = _cached(f, walls, cfg, wall_spec, slip_x, slip_y,
+                               fast_math, mask)
         return rs.run_probed(f, walls, n_steps, probes, every)
 
     run.run_probed = run_probed

@@ -191,3 +191,109 @@ def test_sharded_bf16_matches_unsharded(cfg8, walls8):
     np.testing.assert_array_equal(
         np.asarray(out, np.float32), np.asarray(ref, np.float32)
     )
+
+
+def test_shard_partition_regions_structure():
+    """The union partition (SPMD wall specialization of the sharded
+    interior): runs cover local blocks [1, nb-1) exactly, masked runs
+    come first, a wall in ANY shard masks that local block for all
+    shards, and the edge flags see the neighbor shard's halo rows."""
+    from latticeboltzmann_tpu.ops import fused_kernel as fk
+
+    br, T, ny = 32, 3, 40
+    nyp, lpad = fk.pick_layout(ny, T)
+    # 2 shards x 4 blocks; barrier rows 40-43 live ONLY in shard 0
+    m = np.zeros((256, ny), bool)
+    m[40:44, 10:20] = True
+    top_wm, runs, bot_wm = fk.shard_partition_regions(m, 2, br, T, ny, nyp, lpad)
+    assert not top_wm and not bot_wm  # no wall near any shard edge (wrap incl.)
+    covered = sorted(b for (s, ln, _, _) in runs for b in range(s, s + ln))
+    assert covered == [1, 2]
+    flags = {s: wm for (s, ln, wm, _) in runs}
+    assert flags[1] is True and flags[2] is False  # union masks block 1 in BOTH shards
+    assert [wm for (_, _, wm, _) in runs] == sorted(
+        (wm for (_, _, wm, _) in runs), reverse=True
+    )  # masked-first
+
+    # a wall in shard 1's block-2 window must mask local block 2 everywhere
+    m2 = m.copy()
+    m2[128 + 70, :] = True
+    _, runs2, _ = fk.shard_partition_regions(m2, 2, br, T, ny, nyp, lpad)
+    f2 = {s: wm for (s, ln, wm, _) in runs2 for s in range(s, s + ln)}
+    assert f2[2] is True
+
+    # a wall at the global wrap seam shows up in the TOP edge flag (the
+    # edge window includes the neighbor's halo rows, with x wrap)
+    m3 = np.zeros((256, ny), bool)
+    m3[255, :] = True
+    top3, _, bot3 = fk.shard_partition_regions(m3, 2, br, T, ny, nyp, lpad)
+    assert top3 and bot3
+
+
+def test_sharded_pallas_union_partition_matches_xla():
+    """End-to-end through the union-partitioned interior: masked +
+    select-free interior runs and two wall-free edge launches (the
+    barrier sits mid-shard, away from every shard edge), 2-device mesh,
+    odd step count (exercises the T=1 remainder partition too)."""
+    cfg = LatticeConfig(nx=256, ny=40, dtype=np.float32)
+    w = geometry.empty(cfg.nx, cfg.ny)
+    w[40:44, 10:20] = True
+    mesh = sharded.make_mesh(2)
+    from latticeboltzmann_tpu.ops import fused_kernel as fk
+    from latticeboltzmann_tpu.models.engine import initial_state
+    import jax.numpy as jnp
+
+    run = sharded.make_pallas_run_steps(mesh, cfg, interpret=True, mask=w)
+    # the partition actually specialized: more than one interior launch
+    nyp, lpad = fk.pick_layout(cfg.ny, 3)
+    top_wm, runs, bot_wm = fk.shard_partition_regions(
+        w, 2, 32, min(fk.DEFAULT_TEMPORAL, 32), cfg.ny, nyp, lpad
+    )
+    assert len(runs) == 2 and not top_wm and not bot_wm
+    f, wd = sharded.shard_state(mesh, jnp.asarray(initial_state(cfg)), jnp.asarray(w))
+    out = np.asarray(run(f, wd, 13))
+    ref = Simulation(cfg, w, backend="xla").run(13).state()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_interior_region_matches_xla():
+    """A recompute region INSIDE a sharded interior launch (lane-type
+    thin barrier mid-shard): free evolution + masked sub-window
+    recomputation must match the XLA engine through the shard_map path.
+    The cost model is zeroed (as in test_pallas._forced_regions) so the
+    region engages at CPU test width."""
+    from latticeboltzmann_tpu.ops import fused_kernel as fk
+
+    cfg = LatticeConfig(nx=256, ny=1152, dtype=np.float32)
+    w = geometry.empty(cfg.nx, cfg.ny)
+    w[40:56, 600:605] = True  # lane-type wall, shard 0, interior block 1
+    T = 2
+    nyp, lpad = fk.pick_layout(cfg.ny, T)
+
+    orig_part = fk.shard_partition_regions
+    orig_fixed = fk.REGION_FIXED_COST
+
+    def zero_cost(mask, n_dev, br, temporal, ny, nyp, lpad, launch_cost=None):
+        return orig_part(mask, n_dev, br, temporal, ny, nyp, lpad, 0.0)
+
+    fk.shard_partition_regions = zero_cost
+    fk.REGION_FIXED_COST = 0.0
+    fk.make_step.cache_clear()
+    try:
+        _, runs, _ = zero_cost(w, 2, 32, T, cfg.ny, nyp, lpad)
+        assert any(r[3] is not None and r[3][1] for r in runs), "lane region expected"
+        from latticeboltzmann_tpu.models.engine import initial_state
+        import jax.numpy as jnp
+
+        mesh = sharded.make_mesh(2)
+        run = sharded.make_pallas_run_steps(mesh, cfg, interpret=True, mask=w,
+                                            temporal=T)
+        f, wd = sharded.shard_state(mesh, jnp.asarray(initial_state(cfg)),
+                                    jnp.asarray(w))
+        out = np.asarray(run(f, wd, 2 * 2 * T))  # multiple of 2T: no remainder
+        ref = Simulation(cfg, w, backend="xla").run(2 * 2 * T).state()
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-7)
+    finally:
+        fk.shard_partition_regions = orig_part
+        fk.REGION_FIXED_COST = orig_fixed
+        fk.make_step.cache_clear()
