@@ -1031,53 +1031,94 @@ def _make_kernel(
             sub-window recomputation uses only op shapes the round-2
             kernel already compiles."""
             row_bands, lane_bands = region
+
+            def compute_patches():
+                """[(gg, dst, lane_src)]: the re-evolved wall
+                neighborhoods and their out_ref destinations."""
+                patches = []
+                # row-band recomputes: walls spanning many lanes but few
+                # rows (e.g. channel walls). Bands are tight wall
+                # extents in window coords; expand by T for
+                # contamination, clamp to the output range, 8-align the
+                # store offsets, pad the input window by T more.
+                for r0, r1 in row_bands or ():
+                    o_lo = max(r0 - T, T)
+                    o_hi = min(r1 + T, br + T)
+                    o_lo = T + (o_lo - T) // 8 * 8          # align store row
+                    o_hi = min(T - (-(o_hi - T) // 8) * 8, br + T)
+                    if o_lo >= o_hi:
+                        continue
+                    a, b = o_lo - T, o_hi + T
+                    gg = [pp[a:b] for pp in f]
+                    gg = evolve(gg, wall[a:b], None if cls is None else cls[a:b])
+                    patches.append(
+                        (gg, (slice(o_lo - T, o_hi - T), slice(None)), None)
+                    )
+                # lane-band recomputes: walls spanning many rows but few
+                # lanes (e.g. a thin barrier). The sub-window's lane
+                # rolls wrap at its own edges, feeding junk inward one
+                # lane per step — the T-lane input margin keeps it out
+                # of the stored band. The partitioner guarantees bands
+                # are 128-aligned, >=2T from the lattice's lane edges,
+                # and free of forcing lanes (forced would need a
+                # lane-offset variant).
+                for l0, l1 in lane_bands or ():
+                    a, b = l0 - T, l1 + T
+                    gg = [pp[:, a:b] for pp in f]
+                    gg = evolve(
+                        gg, wall[:, a:b], None if cls is None else cls[:, a:b],
+                        do_force=False,
+                    )
+                    patches.append(
+                        (gg, (slice(None), slice(l0, l1)), slice(T, T + l1 - l0))
+                    )
+                return patches
+
+            def store_patches(patches):
+                for gg, dst, lane_src in patches:
+                    for s in range(NSPEEDS):
+                        val = gg[s] if lane_src is None else gg[s][:, lane_src]
+                        out_ref[(s, *dst)] = val.astype(storage)
+
+            if "whenpatch" in ablate:
+                # perf probe for the single-launch design: the whole
+                # patch machinery (compute + stores) under a scalar
+                # grid-index branch. If Mosaic lowers pl.when around a
+                # side-effect-only region to a REAL branch (as the
+                # i == 0 warmup/emit_carry regions suggest), the patch
+                # cost is paid on one block instead of all — the
+                # round-2 "+105 us/step" both-bodies finding applied to
+                # value-producing branches, not store-only regions.
+                # Physics is intentionally wrong here (patches land
+                # before the free store and only on block 0).
+                # "whennever" makes the condition statically-unknowable
+                # but never true at runtime: isolates the cost of the
+                # when-region's mere presence (scheduling conservatism)
+                # from the taken branch's execution.
+                cond = (
+                    i == jnp.int32(2 * n_blocks)
+                    if "whennever" in ablate
+                    else i == 0
+                )
+
+                @pl.when(cond)
+                def _():
+                    store_patches(compute_patches())
+                ff = evolve(list(f), None, None)
+                for s in range(NSPEEDS):
+                    out_ref[s, :, :] = ff[s].astype(storage)
+                return
             # Patch recomputes run FIRST (they read the pristine window
             # f): computing them before the free evolution lets f's
             # planes die progressively inside it instead of staying live
             # end-to-end — the full-liveness variant measured ~+8
             # us/step of VMEM pressure. Patch stores still come LAST so
             # they overwrite the full-block free store.
-            patches = []  # (store_fn applied after the free store)
-            # row-band recomputes: walls spanning many lanes but few
-            # rows (e.g. channel walls). Bands are tight wall extents in
-            # window coords; expand by T for contamination, clamp to the
-            # output range, 8-align the store offsets, pad the input
-            # window by T more.
-            for r0, r1 in row_bands or ():
-                o_lo = max(r0 - T, T)
-                o_hi = min(r1 + T, br + T)
-                o_lo = T + (o_lo - T) // 8 * 8          # align store row
-                o_hi = min(T - (-(o_hi - T) // 8) * 8, br + T)
-                if o_lo >= o_hi:
-                    continue
-                a, b = o_lo - T, o_hi + T
-                gg = [pp[a:b] for pp in f]
-                gg = evolve(gg, wall[a:b], None if cls is None else cls[a:b])
-                patches.append((gg, (slice(o_lo - T, o_hi - T), slice(None)), None))
-            # lane-band recomputes: walls spanning many rows but few
-            # lanes (e.g. a thin barrier). The sub-window's lane rolls
-            # wrap at its own edges, feeding junk inward one lane per
-            # step — the T-lane input margin keeps it out of the stored
-            # band. The partitioner guarantees bands are 128-aligned,
-            # >=2T from the lattice's lane edges, and free of forcing
-            # lanes (forced would need a lane-offset variant).
-            for l0, l1 in lane_bands or ():
-                a, b = l0 - T, l1 + T
-                gg = [pp[:, a:b] for pp in f]
-                gg = evolve(
-                    gg, wall[:, a:b], None if cls is None else cls[:, a:b],
-                    do_force=False,
-                )
-                patches.append(
-                    (gg, (slice(None), slice(l0, l1)), slice(T, T + l1 - l0))
-                )
+            patches = compute_patches()
             ff = evolve(list(f), None, None)
             for s in range(NSPEEDS):
                 out_ref[s, :, :] = ff[s].astype(storage)
-            for gg, dst, lane_src in patches:
-                for s in range(NSPEEDS):
-                    val = gg[s] if lane_src is None else gg[s][:, lane_src]
-                    out_ref[(s, *dst)] = val.astype(storage)
+            store_patches(patches)
 
         def advance_skew():
             """Wavefront (time-skewed) evolution of block b = start + i:
@@ -1609,7 +1650,8 @@ def wall_partition(walls, br: int, temporal: int):
     exact relabeling; it buys two things measured on v5e: the circularly
     wrapping segment's `rem` output index map cost +12.5 us/step (it
     defeats Mosaic's output pipelining), and rebasing merges the wrapped
-    run into one launch (each extra launch is ~+4 us/step). Segments
+    run into one launch (each extra launch costs ~36-48 us/pass of DMA
+    pipeline drain + refill — see LAUNCH_COST_PASS_UNITS). Segments
     write disjoint output rows from the same input state, so their order
     within a pass is free; masked runs go first — masked-first measured
     ~13 us/step faster than free-first on v5e."""
@@ -1628,6 +1670,21 @@ def wall_partition(walls, br: int, temporal: int):
 # on v5e; see wall_partition_regions). Tests zero it to force the
 # region kernel on CPU-sized lattices where it would not otherwise pay.
 REGION_FIXED_COST = 300.0
+
+# Fixed cost of one extra kernel launch per pass, in the same
+# row x lane-block units (1216 units ~= 2.1 us/step, the measured
+# full-mask select cost of one BR=32 block). Measured directly on v5e
+# (scripts/anatomy.py --section launchtax, 800x4000 f32 T=3): splitting
+# a single all-free launch into 2 launches costs +15.9 us/step and into
+# 3 launches +24.3 us/step — i.e. ~36-48 us of dead time per pass per
+# boundary, the DMA pipeline drain + refill that Mosaic cannot overlap
+# across pallas_call boundaries (launches are serialized by the donated
+# output buffer; the TensorCore runs one kernel at a time regardless).
+# Per-step units therefore scale as 1/temporal. The old hardcoded 2400
+# (~4 us/pass) underestimated this ~10x and made the DP over-split: the
+# reference scene's 3-launch region partition measured 168.7 us/step vs
+# 162.9-165.1 for the 2-launch coarse partition in the same session.
+LAUNCH_COST_PASS_UNITS = 24000.0
 
 
 def _bands(values, gap: int, bound: int):
@@ -1740,7 +1797,7 @@ def _region_partitioner(sub_b, br: int, temporal: int, ny: int, nyp: int,
 
 def shard_partition_regions(
     mask, n_dev: int, br: int, temporal: int, ny: int, nyp: int, lpad: int,
-    launch_cost: float = 2400.0,
+    launch_cost: float | None = None,
 ):
     """(top_wall_mode, interior_runs, bot_wall_mode): the wall-
     specialization partition for the sharded external-halo path.
@@ -1764,6 +1821,8 @@ def shard_partition_regions(
     rows, with global x wrap. With nb < 3 there is no interior:
     interior_runs is () and both flags conservatively OR together
     (callers keep the single full-shard launch)."""
+    if launch_cost is None:
+        launch_cost = LAUNCH_COST_PASS_UNITS / temporal
     m = np.asarray(mask, np.float64) > 0
     nx = m.shape[0]
     T = temporal
@@ -1813,7 +1872,7 @@ def shard_partition_regions(
 
 def wall_partition_regions(
     mask, br: int, temporal: int, ny: int, nyp: int, lpad: int,
-    launch_cost: float = 2400.0, rebase: int | None = None,
+    launch_cost: float | None = None, rebase: int | None = None,
 ):
     """(row_shift, runs) with runs of (start, length, wall_mode, region):
     wall_partition refined with a static recompute region per masked run.
@@ -1826,10 +1885,13 @@ def wall_partition_regions(
     barrier). The kernel then evolves such blocks select-free and
     re-evolves only the band neighborhoods masked (see advance_region).
     Masked runs are split by a small interval DP balancing recompute
-    area (rows x lane-blocks per block) against the ~4 us fixed cost of
-    an extra kernel launch (launch_cost is in row x lane-block units; a
-    fully-masked 40x32-laneblock block = 1280 units ~= 2.1 us measured,
-    so one launch ~= 2400 units).
+    area (rows x lane-blocks per block) against the fixed cost of an
+    extra kernel launch. launch_cost is in row x lane-block units (a
+    fully-masked 40x32-laneblock block = 1280 units ~= 2.1 us/step
+    measured); None uses the measured per-pass boundary tax
+    LAUNCH_COST_PASS_UNITS / temporal (~36-48 us of DMA pipeline
+    drain + refill per extra launch per pass, measured by
+    scripts/anatomy.py --section launchtax — see the constant's note).
 
     This is what makes the reference scene cheap: its barrier spans 5
     columns (1 lane block of 32) over 200 rows, and its channel walls
@@ -1843,6 +1905,8 @@ def wall_partition_regions(
     # the state was padded with. Under a pinned rotation one run may
     # wrap circularly — make_step's wrapping index map handles it (a
     # few-step diagnostics path, not the hot loop).
+    if launch_cost is None:
+        launch_cost = LAUNCH_COST_PASS_UNITS / temporal
     m = np.asarray(mask, np.float64) > 0
     nx = m.shape[0]
     T = temporal

@@ -394,7 +394,7 @@ def main():
     ap.add_argument("--section", default="all",
                     choices=["all", "xla", "copy", "roll", "align", "ablate",
                              "sweep", "prod", "split", "bf16", "floor",
-                             "skew"])
+                             "skew", "launchtax"])
     args = ap.parse_args()
     from latticeboltzmann_tpu.utils.tpulock import tpu_lock
 
@@ -523,6 +523,46 @@ def main():
                            dtype="bfloat16", tag="ref wavefront", skew=True)
             except Exception as e:
                 print(f"skew bf16 T={t}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:150]})", flush=True)
+    if args.section == "launchtax":
+        # Launch-boundary tax, measured in one session (the basis of
+        # fused_kernel.LAUNCH_COST_PASS_UNITS): all-free splits isolate
+        # the pure boundary cost (no select/region differences), then
+        # the masked partitions price wall handling on top. 2026-08-18,
+        # 800x4000 f32 T=3, reference scene: free 1L 141.7/139.1 (two
+        # anchors), free 2L 156.7 (+15.9/boundary), free 3L 166.0,
+        # coarse masked 2L 165.1/162.9, auto-regions 3L 168.7 — the
+        # boundary dominates the select/region savings, so the DP must
+        # price it honestly (the old 2400-unit guess over-split).
+        import numpy as _np
+        from latticeboltzmann_tpu.core.geometry import reference_barrier
+        from latticeboltzmann_tpu.ops import fused_kernel as fk
+
+        T = 3
+        nyp_, lpad_ = fk.pick_layout(NY, T)
+        walls_ = _np.asarray(reference_barrier(NX, NY))
+        shift_, auto_ = fk.wall_partition_regions(walls_, 32, T, NY, nyp_, lpad_)
+        print(f"auto partition (shift={shift_}): {auto_}")
+        nb_ = NX // 32
+        n_masked = 8  # reference scene: 8-block wall run (channel + barrier)
+        cases = [
+            ("free 1L", ((0, None, False, None),), 0),
+            ("free 2L", ((nb_ - n_masked, n_masked, False, None),
+                         (0, nb_ - n_masked, False, None)), shift_),
+            ("free 3L", ((nb_ - n_masked, 2, False, None),
+                         (nb_ - n_masked + 2, n_masked - 2, False, None),
+                         (0, nb_ - n_masked, False, None)), shift_),
+            ("coarse masked 2L", ((nb_ - n_masked, n_masked, True, None),
+                                  (0, nb_ - n_masked, False, None)), shift_),
+            ("auto (production)", None, 0),
+            ("free 1L again", ((0, None, False, None),), 0),
+        ]
+        for tag, segs, rs in cases:
+            try:
+                production(args.steps, temporal=T, segs=segs, tag=tag,
+                           scene="reference", row_shift=rs)
+            except Exception as e:
+                print(f"launchtax {tag}: FAILED "
                       f"({type(e).__name__}: {str(e)[:150]})", flush=True)
     if args.section in ("all", "split"):
         B = ((17, 8, True), (0, 17, False))
