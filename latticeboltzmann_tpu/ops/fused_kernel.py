@@ -155,10 +155,33 @@ def _make_kernel(
     panels: int = 1,
     emit_carry: bool = False,
     skew: bool = False,
+    multipass: int = 0,
 ):
     """Build the kernel body. All shape/physics parameters are baked in
     as Python constants (the jit-specialization equivalent of the
     reference's #define block, src/latticeboltzmann.c:36-56).
+
+    multipass=P > 0 builds the FLAT (persistent) kernel: ONE launch
+    advances P whole passes (P*T timesteps) over a grid of (P, nb)
+    steps, eliminating the per-pass launch boundary — measured at
+    ~36-48 us of DMA pipeline drain + refill per pass (docs/TUNING.md
+    launch-boundary tax), which even the single-launch-per-pass floor
+    pays once per pass. Both ping-pong buffers live in ONE stacked
+    (2, 9, nx, nyp) array passed as the aliased in/out operand; pass p
+    reads parity p%2 and writes parity (p+1)%2 via parity-indexed
+    manual DMA. Outputs go through a double-buffered VMEM write-behind
+    (the slot's previous DMA is awaited before reuse, which also
+    transitively orders every cross-pass HBM read after the write it
+    depends on — the read's issue begins >= nb-3 grid steps after the
+    write's semaphore-verified completion, requiring nb >= SLOTS - 1).
+    The one cross-pass hazard that cannot go through HBM — block 0 of
+    pass p+1 needs block nb-1 of pass p, written one step earlier — is
+    carried through persistent VMEM instead (the skew-carry pattern),
+    stored in the storage dtype so results stay bitwise-identical to
+    the staged path. P must be even (the chunk's final state returns to
+    parity 0). Currently wall-free segments only (the production wall
+    path keeps per-pass launches; see the pl.when static-tax note in
+    docs/TUNING.md).
 
     emit_carry / skew implement wavefront time-skewing of the wall-free
     segments (docs/TUNING.md round-3+): the classic temporal window is a
@@ -312,6 +335,24 @@ def _make_kernel(
             )
         if emit_carry and skew:
             raise ValueError("emit_carry and skew are different launches")
+    if multipass:
+        if (
+            wall_mode or external_halo or rdma or skew or emit_carry
+            or region is not None or panels > 1
+        ):
+            raise ValueError(
+                "multipass (flat) kernel: wall-free local single-panel "
+                "full-grid only"
+            )
+        if (start, length) != (0, n_blocks):
+            raise ValueError("multipass: full block grid only")
+        if multipass % 2:
+            raise ValueError("multipass pass count must be even")
+        if n_blocks < slots - 1:
+            raise ValueError(
+                f"multipass needs n_blocks >= slots-1 (cross-pass RAW "
+                f"ordering), got nb={n_blocks} slots={slots}"
+            )
     if panels > 1:
         if external_halo or rdma or region is not None or has_slip:
             raise ValueError("panels: local path only")
@@ -367,7 +408,13 @@ def _make_kernel(
         htop = hbot = whtop = whbot = wbody = None
         ct_ref = cb_ref = ssem = rsem = None
         carr_in = carry_out = c_ref = w_ref = None
-        if skew:
+        out2 = obody = osem = c2_ref = phase_ref = None
+        if multipass:
+            # flat: f_hbm is only the aliased in-operand; all reads AND
+            # writes go through out2 (the same HBM buffer)
+            phase_ref, out2, fbody, sems, obody, osem, c2_ref = rest
+            rfl_ref = out_ref = None
+        elif skew:
             carr_in, rfl_ref, out_ref, fbody, sems, c_ref, w_ref = rest
         elif emit_carry:
             rfl_ref, out_ref, carry_out, fbody, sems = rest
@@ -393,7 +440,19 @@ def _make_kernel(
             rfl_ref, out_ref, fbody, wbody, sems = rest
         else:
             rfl_ref, out_ref, fbody, sems = rest
-        if panels == 1:
+        if multipass:
+            p_pass = pl.program_id(0)
+            i = pl.program_id(1)
+            s_off = None
+            # issue-space step index: each pass consumes nb+1 issues
+            # (blocks 0..nb-1 plus the wrap restage of block 0), and
+            # one extra issue g=0 leads the whole chunk (block nb-1 of
+            # the input parity — pass 0's top halo; later passes take
+            # it from the VMEM carry instead)
+            e_iss = p_pass * jnp.int32(n_blocks + 1) + i
+            G_MAX = multipass * (n_blocks + 1)
+            KR = refresh_interval(lpad, rpad, ny, temporal)
+        elif panels == 1:
             i = pl.program_id(0)
             s_off = None
         else:
@@ -407,7 +466,26 @@ def _make_kernel(
             s_off = jnp.int32(LANE) * jnp.clip(
                 pnl * jnp.int32(PP // LANE) - 1, 0, jnp.int32((nyp - PW) // LANE)
             )
-        do_refresh = rfl_ref[0] != 0
+        if multipass:
+            # per-issue refresh (computed in flat_flag below); keep the
+            # classic name bound for shared code paths that never run flat
+            def _issue_refresh(g):
+                """Refresh flag of the pass issue g stages for: passes
+                0, KR, 2*KR, ... (absolute — phase_ref carries the
+                chunk's starting pass index) re-mirror their staged
+                pads, matching the classic runner's rem(p0, K) == 0."""
+                g = jnp.asarray(g, jnp.int32)
+                q = jnp.where(
+                    g == 0,
+                    jnp.int32(0),
+                    (g - 1) // jnp.int32(n_blocks + 1),
+                )
+                return _rem(phase_ref[0] + q, KR) == 0
+
+            # the consuming pass's flag: gates the carry remirror fix
+            do_refresh = _rem(phase_ref[0] + p_pass, KR) == 0
+        else:
+            do_refresh = rfl_ref[0] != 0
 
         if rdma:
             my = jax.lax.axis_index(axis)
@@ -486,14 +564,15 @@ def _make_kernel(
             def _():
                 rdma_down().wait()
 
-        def remirror(slot):
+        def remirror(slot, flag=None):
             """Re-assert the pad-lane mirror invariant on a freshly
             staged block, in the storage dtype (exact lane copies):
             P[j] = P[j+ny] for j < lpad, P[j] = P[j-ny] for
             j >= lpad+ny. One timestep invalidates one pad lane per
             side (the nyp-periodic roll feeds the outermost lanes from
             the wrong edge), so this only needs to run every
-            refresh_interval() passes — the caller's flag gates it."""
+            refresh_interval() passes — the caller's flag gates it
+            (flat kernels pass the staged issue's own pass flag)."""
             if "remirror" in ablate:  # perf-lab/compile probe
                 return
             if panels > 1:
@@ -501,7 +580,7 @@ def _make_kernel(
                 # the runner re-mirrors between passes instead
                 return
 
-            @pl.when(do_refresh)
+            @pl.when(do_refresh if flag is None else flag)
             def _():
                 lane = jax.lax.broadcasted_iota(jnp.int32, (br, nyp), 1)
                 for s in range(NSPEEDS):
@@ -516,6 +595,31 @@ def _make_kernel(
                     ).astype(storage)
 
         def copies(k):
+            if multipass:
+                # issue g = 0 pre-stages block nb-1 of the chunk's input
+                # (parity 0) — pass 0's top halo; issues g >= 1 belong to
+                # pass q = (g-1)//(nb+1) with local k' = (g-1)%(nb+1)
+                # staging block k' (k' == nb restages block 0, the s_bot
+                # of the pass's last block), reading parity q%2 (the
+                # chunk always starts at parity 0; multipass is even)
+                g = jnp.asarray(k, jnp.int32)
+                q = (g - 1) // jnp.int32(n_blocks + 1)
+                kk = _rem(g - 1, n_blocks + 1)
+                blk = jnp.where(
+                    g == 0,
+                    jnp.int32(n_blocks - 1),
+                    jnp.where(kk == jnp.int32(n_blocks), jnp.int32(0), kk),
+                )
+                par = jnp.where(g == 0, jnp.int32(0), _rem(q, 2))
+                slot = _rem(g, SLOTS)
+                r0 = blk * jnp.int32(br)
+                return [
+                    pltpu.make_async_copy(
+                        out2.at[par, :, pl.ds(r0, br), :],
+                        fbody.at[slot],
+                        sems.at[slot, 0],
+                    )
+                ]
             if rdma:
                 # rotated order: issue k stages block k mod G; the body
                 # at step i is block (i+1) mod G, so the edge blocks (0
@@ -573,20 +677,56 @@ def _make_kernel(
         # issue 1 — one whole dead block DMA saved per launch.
         k_first = 1 if skew else 0
 
-        @pl.when(i == 0)
-        def _():
-            for k in range(k_first, min(SLOTS - 1, length + 2)):
-                begin(k)
-            for k in range(k_first, 2):
-                wait(k)
-                remirror(k)  # SLOTS >= 4, so issues 0, 1 sit in slots 0, 1
+        if multipass:
+            first_step = (p_pass == 0) & (i == 0)
 
-        @pl.when(i + SLOTS - 1 < length + 2)
-        def _():
-            begin(i + SLOTS - 1)
+            @pl.when(first_step)
+            def _():
+                for k in range(min(SLOTS - 1, G_MAX + 1)):
+                    begin(k)
+                for k in range(2):
+                    wait(k)
+                    remirror(k, _issue_refresh(k))
 
-        wait(i + 2)
-        remirror(_rem(i + 2, SLOTS))
+            tgt = e_iss + jnp.int32(SLOTS - 1)
+            # the issue counter jumps by 2 across a pass boundary (the
+            # pass's leading issue has no consuming grid step of its
+            # own), so pass-start steps begin TWO issues
+            @pl.when((i == 0) & (p_pass > 0) & (tgt - 1 <= jnp.int32(G_MAX)))
+            def _():
+                begin(tgt - 1)
+
+            @pl.when(tgt <= jnp.int32(G_MAX))
+            def _():
+                begin(tgt)
+
+            # e_iss skips one value across each pass boundary, so the
+            # per-step wait(e+2) cadence would skip issue p*(nb+1)+1 —
+            # pass p's block 0 — leaving it unwaited AND un-remirrored
+            # (stale pads on refresh passes, ~1e-3 errors seeding from
+            # block 0; caught by test_flat_refresh_and_carry_interaction)
+            @pl.when((i == 0) & (p_pass > 0))
+            def _():
+                wait(e_iss + 1)
+                remirror(_rem(e_iss + 1, SLOTS), _issue_refresh(e_iss + 1))
+
+            wait(e_iss + 2)
+            remirror(_rem(e_iss + 2, SLOTS), _issue_refresh(e_iss + 2))
+        else:
+            @pl.when(i == 0)
+            def _():
+                for k in range(k_first, min(SLOTS - 1, length + 2)):
+                    begin(k)
+                for k in range(k_first, 2):
+                    wait(k)
+                    remirror(k)  # SLOTS >= 4, so issues 0, 1 sit in slots 0, 1
+
+            @pl.when(i + SLOTS - 1 < length + 2)
+            def _():
+                begin(i + SLOTS - 1)
+
+            wait(i + 2)
+            remirror(_rem(i + 2, SLOTS))
 
         if external_halo and not rdma:
             # patch the T neighbor-device rows into the resident edge
@@ -612,9 +752,14 @@ def _make_kernel(
                     if wbody is not None:
                         wbody[slot_last, :T, :] = whbot[...]
 
-        s_top = _rem(i, SLOTS)      # holds block i-1: its last row is our top halo
-        s_body = _rem(i + 1, SLOTS)  # block i
-        s_bot = _rem(i + 2, SLOTS)  # block i+1: its first row is our bottom halo
+        if multipass:
+            s_top = _rem(e_iss, SLOTS)
+            s_body = _rem(e_iss + 1, SLOTS)
+            s_bot = _rem(e_iss + 2, SLOTS)
+        else:
+            s_top = _rem(i, SLOTS)   # holds block i-1: its last row is our top halo
+            s_body = _rem(i + 1, SLOTS)  # block i
+            s_bot = _rem(i + 2, SLOTS)  # block i+1: its first row is our bottom halo
 
         # Forcing touches column j=0 (lane lpad) AND every pad mirror of
         # it (lanes with (j - lpad) mod ny == 0) — column ny-1's pull
@@ -859,6 +1004,35 @@ def _make_kernel(
                 return jnp.where(
                     is_last, fix_halo(cb_ref[s, :T]), fbody[s_bot, s, :T]
                 )
+        elif multipass:
+            # block 0 of pass p > 0 takes its top halo from the VMEM
+            # carry (block nb-1 of pass p-1, written one grid step ago —
+            # the one cross-pass dependency too fresh to round-trip
+            # through HBM). The carry rows skipped the staged-block
+            # remirror, so on refresh passes the same pad fix is applied
+            # here (a (T, nyp) select — cheap).
+            use_carry = (i == 0) & (p_pass > 0)
+            hlane2 = jax.lax.broadcasted_iota(jnp.int32, (T, nyp), 1)
+
+            def _carry_fixed(s):
+                if "nocarryfix" in ablate:  # perf probe: raw carry
+                    return c2_ref[s][...]
+                x = c2_ref[s].astype(jnp.float32)
+                xl = pltpu.roll(x, nyp - ny, axis=1)
+                xr = pltpu.roll(x, ny, axis=1)
+                x2 = jnp.where(hlane2 < lpad, xl, x)
+                x2 = jnp.where(hlane2 >= lpad + ny, xr, x2)
+                return jnp.where(do_refresh, x2, x).astype(storage)
+
+            def top_piece(s):
+                if "nocarry" in ablate:  # perf probe: staged top always
+                    return fbody[s_top, s, br - T :]
+                return jnp.where(
+                    use_carry, _carry_fixed(s), fbody[s_top, s, br - T :]
+                )
+
+            def bot_piece(s):
+                return fbody[s_bot, s, :T]
         else:
             def top_piece(s):
                 return fbody[s_top, s, br - T :]
@@ -1186,6 +1360,59 @@ def _make_kernel(
             for s in range(NSPEEDS):
                 out_ref[s, :, :] = ff[s].astype(storage)
 
+        def advance_flat():
+            """Flat (multipass) step: free evolve + parity-indexed
+            write-behind output DMA + the cross-pass VMEM carry."""
+            j_glob = p_pass * jnp.int32(n_blocks) + i
+            oslot = _rem(j_glob, 2)
+
+            def out_copy(pp, ii, oslot_):
+                # pass pp writes parity (pp+1) % 2 (chunks start at 0)
+                par_o = _rem(pp + 1, 2)
+                return pltpu.make_async_copy(
+                    obody.at[oslot_],
+                    out2.at[par_o, :, pl.ds(ii * jnp.int32(br), br), :],
+                    osem.at[oslot_],
+                )
+
+            # write-behind discipline: the slot's previous DMA (issued
+            # two steps ago) must finish before its VMEM is overwritten.
+            # This wait also transitively orders every cross-pass HBM
+            # read after the write it depends on (the read's issue
+            # begins >= nb-3 steps after this wait confirms the write).
+            @pl.when(j_glob >= 2)
+            def _():
+                jj = j_glob - 2
+                out_copy(
+                    jj // jnp.int32(n_blocks), _rem(jj, n_blocks), oslot
+                ).wait()
+
+            ff = evolve(list(f), None, None)
+            # cross-pass carry: this pass's last block's top-halo rows
+            # for the next pass's block 0, stored in the storage dtype
+            # so the carry path is bitwise-equal to an HBM round trip.
+            # Written UNCONDITIONALLY by every block — the last writer
+            # of pass p is block nb-1, exactly the value pass p+1's
+            # block 0 reads, and the tiny (T, nyp) store is far cheaper
+            # than a pl.when region's static scheduling tax
+            # (docs/TUNING.md).
+            if "nocarry" not in ablate:
+                for s in range(NSPEEDS):
+                    c2_ref[s] = ff[s][br - T :].astype(storage)
+
+            for s in range(NSPEEDS):
+                obody[oslot, s] = ff[s].astype(storage)
+            out_copy(p_pass, i, oslot).start()
+
+            @pl.when(j_glob == jnp.int32(multipass * n_blocks - 1))
+            def _():
+                # chunk end: drain both in-flight output DMAs
+                out_copy(p_pass, i, oslot).wait()
+                jj = j_glob - 1
+                out_copy(
+                    jj // jnp.int32(n_blocks), _rem(jj, n_blocks), _rem(jj, 2)
+                ).wait()
+
         # wall_mode=False is the wall-free fast variant: no mask, no
         # bounce-back selects — where(False, a, b) == b exactly, so it is
         # bitwise-identical to the masked variant on solid-free windows.
@@ -1195,7 +1422,10 @@ def _make_kernel(
         # bodies. The runner instead partitions the grid into circular
         # block segments (wall_segments) and launches the right kernel
         # variant per segment.
-        advance(wall_mode and "walls" not in ablate)
+        if multipass:
+            advance_flat()
+        else:
+            advance(wall_mode and "walls" not in ablate)
 
     return kernel
 
@@ -1405,6 +1635,87 @@ def make_step(
             bytes_accessed=int(
                 (2 * NSPEEDS * itemsize + (4 if stage_walls else 0))
                 * br * length * nyp
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    return step
+
+
+@functools.lru_cache(maxsize=16)
+def make_flat_step(
+    cfg: LatticeConfig,
+    nx: int,
+    nyp: int,
+    br: int,
+    interpret: bool,
+    temporal: int,
+    lpad: int,
+    multipass: int,
+    slots: int | None = None,
+    fast_math: bool = False,
+    ablate: frozenset = frozenset(),
+):
+    """Jittable FLAT multi-pass step (see _make_kernel's multipass note):
+    (f2, phase) -> f2', advancing multipass * temporal timesteps in ONE
+    kernel launch. f2 is the stacked (2, 9, nx, nyp) ping-pong pair in
+    the mirror-pad layout with the live state at parity 0; f2' reuses
+    its buffer in place (input_output_aliases) and returns the final
+    state at parity 0 again (multipass is even). phase is the absolute
+    pass index of the chunk's first pass, (1,) int32 — it phases the
+    in-kernel pad-refresh cadence exactly like the classic runner's
+    rem(p0, K) == 0 flag. Wall-free lattices only (the wall path keeps
+    per-pass launches; docs/TUNING.md explains why)."""
+    dtype = np.dtype(cfg.dtype).type
+    itemsize = np.dtype(cfg.dtype).itemsize
+    if slots is None:
+        slots = (
+            6
+            if _vmem_need(br, 6 + 2, nyp, itemsize, temporal, False)
+            <= VMEM_BUDGET
+            else 4
+        )
+    kernel = _make_kernel(
+        cfg, nx, nyp, br, dtype, temporal, slots=slots, wall_spec=(),
+        ablate=ablate, lpad=lpad, wall_mode=False, fast_math=fast_math,
+        multipass=multipass,
+    )
+    n_blocks = nx // br
+    T = temporal
+
+    def body(f2_in, phase_ref, out2, *scratch):
+        # adapt to the shared kernel signature: f_hbm/donor/walls are
+        # unused in flat mode (all reads and writes go through out2,
+        # the aliased in/out buffer)
+        return kernel(f2_in, None, None, phase_ref, out2, *scratch)
+
+    step = pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((2, NSPEEDS, nx, nyp), cfg.dtype),
+        grid=(multipass, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((slots, NSPEEDS, br, nyp), cfg.dtype),  # staging
+            pltpu.SemaphoreType.DMA((slots, 1)),
+            pltpu.VMEM((2, NSPEEDS, br, nyp), cfg.dtype),      # out write-behind
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NSPEEDS, T, nyp), cfg.dtype),          # cross-pass carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(124 * br * n_blocks * nyp * temporal * multipass),
+            bytes_accessed=int(
+                2 * NSPEEDS * itemsize * br * n_blocks * nyp * multipass
             ),
             transcendentals=0,
         ),
@@ -1676,13 +1987,14 @@ REGION_FIXED_COST = 300.0
 # full-mask select cost of one BR=32 block). Measured directly on v5e
 # (scripts/anatomy.py --section launchtax, 800x4000 f32 T=3): splitting
 # a single all-free launch into 2 launches costs +15.9 us/step and into
-# 3 launches +24.3 us/step — i.e. ~36-48 us of dead time per pass per
-# boundary, the DMA pipeline drain + refill that Mosaic cannot overlap
-# across pallas_call boundaries (launches are serialized by the donated
-# output buffer; the TensorCore runs one kernel at a time regardless).
-# Per-step units therefore scale as 1/temporal. The old hardcoded 2400
-# (~4 us/pass) underestimated this ~10x and made the DP over-split: the
-# reference scene's 3-launch region partition measured 168.7 us/step vs
+# 3 launches +24.3 us/step (~36-48 us per pass per extra launch).
+# Notably this is NOT a universal drain+refill toll — the flat
+# multipass experiment (make_flat_step, docs/TUNING.md) showed the
+# pass-to-pass kernel boundary costs ~nothing; the tax is specific to
+# chaining ADDITIONAL donated launches inside one pass. Per-step units
+# scale as 1/temporal. The old hardcoded 2400 (~4 us/pass)
+# underestimated this ~10x and made the DP over-split: the reference
+# scene's 3-launch region partition measured 168.7 us/step vs
 # 162.9-165.1 for the 2-launch coarse partition in the same session.
 LAUNCH_COST_PASS_UNITS = 24000.0
 

@@ -388,13 +388,53 @@ def production(n_steps, temporal=4, dtype="float32", segs=None, use_spec=True,
     )
 
 
+def flat(n_steps, temporal=3, P=16, dtype="float32", tag="",
+         ablate=frozenset()):
+    """The flat (multipass) kernel: P whole passes per launch,
+    eliminating the per-pass launch boundary the free-floor measurement
+    itself pays (~36-48 us/pass; docs/TUNING.md launch-boundary tax).
+    Wall-free lattice — the flat kernel's supported scope."""
+    from latticeboltzmann_tpu.core.spec import LatticeConfig
+    from latticeboltzmann_tpu.models.engine import initial_state
+    from latticeboltzmann_tpu.ops import fused_kernel as fk
+
+    cfg = LatticeConfig(nx=NX, ny=NY, dtype=dtype)
+    walls = np.zeros((NX, NY), bool)
+    nyp, lpad = fk.pick_layout(NY, temporal)
+    br = fk.pick_block_config(
+        NX, nyp, np.dtype(dtype).itemsize, temporal, walls_dma=False
+    )[0]
+    step = fk.make_flat_step(cfg, NX, nyp, br, False, temporal, lpad, P,
+                             ablate=ablate)
+    f_p, _ = fk.pad_state(
+        jnp.asarray(initial_state(cfg)), jnp.asarray(walls), cfg, nyp, lpad
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def runner(f2, n_chunks):
+        def body(it, s):
+            return step(s, jnp.reshape(it * jnp.int32(P), (1,)))
+
+        s = jax.lax.fori_loop(0, n_chunks, body, f2)
+        return s, jnp.sum(s[0, 0, 0, :8].astype(jnp.float32))
+
+    def call(n_chunks):
+        return runner(jnp.stack([f_p, f_p]), n_chunks)[1]
+
+    spc = P * temporal  # steps per chunk
+    n1 = max(n_steps // spc, 2)
+    dt = timed_slope(call, n1, 3 * n1, steps_per_n=spc)
+    report(f"flat T={temporal} P={P} BR={br} {dtype} {"+".join(sorted(ablate))} {tag}",
+           dt, sites_steps=NX * NY)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--section", default="all",
                     choices=["all", "xla", "copy", "roll", "align", "ablate",
                              "sweep", "prod", "split", "bf16", "floor",
-                             "skew", "launchtax"])
+                             "skew", "launchtax", "flat"])
     args = ap.parse_args()
     from latticeboltzmann_tpu.utils.tpulock import tpu_lock
 
@@ -564,6 +604,27 @@ def main():
             except Exception as e:
                 print(f"launchtax {tag}: FAILED "
                       f"({type(e).__name__}: {str(e)[:150]})", flush=True)
+    if args.section == "flat":
+        # flat multipass kernel vs the classic per-pass free floor, in
+        # one session: how much of the ~36-48 us/pass boundary tax does
+        # fusing P passes into one launch recover?
+        free = ((0, None, False, None),)
+        try:
+            production(args.steps, temporal=3, segs=free, tag="free 1L anchor")
+        except Exception as e:
+            print(f"flat anchor: FAILED ({type(e).__name__}: {str(e)[:150]})",
+                  flush=True)
+        for t, P in ((3, 16), (3, 32), (4, 16), (2, 16)):
+            try:
+                flat(args.steps, temporal=t, P=P)
+            except Exception as e:
+                print(f"flat T={t} P={P}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:200]})", flush=True)
+        try:
+            production(args.steps, temporal=3, segs=free, tag="free 1L again")
+        except Exception as e:
+            print(f"flat anchor2: FAILED ({type(e).__name__}: {str(e)[:150]})",
+                  flush=True)
     if args.section in ("all", "split"):
         B = ((17, 8, True), (0, 17, False))
         cases = [

@@ -748,3 +748,79 @@ def test_skew_impulse_carry_boundaries(row):
                      interpret=True, temporal=3, skew=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=0, atol=1e-6)
+
+
+# ---- flat (multipass) kernel: P whole passes in one launch ----
+
+def _flat_pair(cfg, temporal, P, slots=4):
+    """(classic, flat): P free passes chained launch-per-pass vs one
+    flat launch, same refresh cadence, from a rough positive state."""
+    nx, ny = cfg.nx, cfg.ny
+    walls = geometry.empty(nx, ny)
+    nyp, lpad = fk.pick_layout(ny, temporal)
+    br = 32
+    rng = np.random.default_rng(7)
+    f = np.asarray(initial_state(cfg))
+    f = (f * (1.0 + 0.05 * rng.random(f.shape))).astype(cfg.dtype)
+    f_p, walls_p = fk.pad_state(
+        jnp.asarray(f), jnp.asarray(walls), cfg, nyp, lpad
+    )
+    # stack BEFORE the classic loop: its second iteration donates f_p's
+    # buffer (as the ping-pong donor), invalidating it for later reads
+    f2 = jnp.stack([f_p, f_p])
+    step = fk.make_step(cfg, nx, nyp, br, True, temporal, lpad=lpad,
+                        wall_mode=False, wall_spec=(), slots=slots)
+    K = fk.refresh_interval(lpad, nyp - lpad - ny, ny, temporal)
+    a, b = f_p, jnp.zeros_like(f_p)
+    for p in range(P):
+        a, b = step(a, b, walls_p, jnp.asarray([int(p % K == 0)], jnp.int32)), a
+    flat = fk.make_flat_step(cfg, nx, nyp, br, True, temporal, lpad, P,
+                             slots=slots)
+    out2 = flat(f2, jnp.asarray([0], jnp.int32))
+    return np.asarray(a), np.asarray(out2[0])
+
+
+def test_flat_matches_classic_free():
+    """One flat launch == P chained per-pass launches. The carry path
+    stores in the storage dtype (exactly an HBM round trip), so the
+    arithmetic DAG is identical; the residual tolerance is XLA:CPU
+    fma-contraction noise between two differently-compiled programs
+    (measured 2.6e-8 over 8 steps)."""
+    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
+    classic, flat = _flat_pair(cfg, temporal=2, P=4)
+    np.testing.assert_allclose(classic, flat, rtol=0, atol=5e-7)
+
+
+def test_flat_refresh_and_carry_interaction():
+    """A tight-pad lattice (K=4) run long enough that refresh passes
+    land on carry-consuming pass starts: the carry remirror fix must
+    match the staged-block remirror bitwise."""
+    cfg = LatticeConfig(nx=128, ny=10, dtype=np.float32)
+    K = fk.refresh_interval(59, 128 - 59 - 10, 10, 2)
+    assert K == 4  # the test's premise: refreshes inside the chunk
+    classic, flat = _flat_pair(cfg, temporal=2, P=12)
+    np.testing.assert_allclose(classic, flat, rtol=0, atol=5e-7)
+
+
+def test_flat_matches_golden():
+    """Physics: P*T flat steps against the float64 oracle."""
+    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
+    walls = geometry.empty(cfg.nx, cfg.ny)
+    nyp, lpad = fk.pick_layout(cfg.ny, 2)
+    f_p, _ = fk.pad_state(
+        jnp.asarray(initial_state(cfg)), jnp.asarray(walls), cfg, nyp, lpad
+    )
+    flat = fk.make_flat_step(cfg, cfg.nx, nyp, 32, True, 2, lpad, 4, slots=4)
+    out2 = flat(jnp.stack([f_p, f_p]), jnp.asarray([0], jnp.int32))
+    out = np.asarray(fk.unpad_state(out2[0], cfg, lpad))
+    ref = _run_golden64(cfg, walls, 8)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-7)
+
+
+def test_flat_guards():
+    cfg = LatticeConfig(nx=128, ny=40, dtype=np.float32)
+    nyp, lpad = fk.pick_layout(cfg.ny, 2)
+    with pytest.raises(ValueError, match="even"):
+        fk.make_flat_step(cfg, 128, nyp, 32, True, 2, lpad, 3, slots=4)
+    with pytest.raises(ValueError, match="n_blocks"):
+        fk.make_flat_step(cfg, 128, nyp, 32, True, 2, lpad, 4, slots=6)
