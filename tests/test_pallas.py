@@ -824,3 +824,16 @@ def test_flat_guards():
         fk.make_flat_step(cfg, 128, nyp, 32, True, 2, lpad, 3, slots=4)
     with pytest.raises(ValueError, match="n_blocks"):
         fk.make_flat_step(cfg, 128, nyp, 32, True, 2, lpad, 4, slots=6)
+
+
+def test_flat_bf16_storage():
+    """bf16 storage through the flat kernel: the carry and staging all
+    round-trip through bf16 exactly like the per-pass HBM path."""
+    import jax.numpy as jnp2
+
+    cfg = LatticeConfig(nx=128, ny=40, dtype=jnp2.bfloat16)
+    classic, flat = _flat_pair(cfg, temporal=2, P=4)
+    np.testing.assert_allclose(
+        classic.astype(np.float32), flat.astype(np.float32),
+        rtol=0, atol=2e-3,
+    )
