@@ -270,6 +270,31 @@ def test_simulation_auto_infers_wall_spec():
     np.testing.assert_array_equal(sim.state(), ref.state())
 
 
+def test_session_persists_across_run_calls():
+    """bench.py's hot path: repeated Simulation.run() on a pallas
+    backend reuses ONE Session (load once, then one advance() dispatch
+    per call, including step counts off the 2*temporal multiple that
+    exercise the dynamic remainder runner) and must match a single XLA
+    run of the total step count. A state read between advances must
+    leave the session intact."""
+    cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32)
+    walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
+    sim = Simulation(cfg, walls, backend="pallas-interpret")
+    sim.run(5)
+    mid = sim.state()  # non-destructive snapshot mid-sequence
+    sim.run(7)
+    sim.run(4)
+    assert sim._session is not None and sim._session.loaded
+    assert sim.steps_done == 16
+    ref = Simulation(cfg, walls, backend="xla")
+    np.testing.assert_allclose(
+        mid, ref.run(5).state(), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        sim.state(), ref.run(11).state(), rtol=1e-6, atol=1e-9
+    )
+
+
 def test_wall_segments_and_partition():
     """The launch-specialization partition: circular runs of
     solid-containing vs solid-free temporal windows, rebased by a row
