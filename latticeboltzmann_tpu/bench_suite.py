@@ -1,4 +1,5 @@
-"""Benchmark suite — the five BASELINE.json configs plus a bf16 variant,
+"""Benchmark suite — ten configs: the five BASELINE.json configs plus
+bf16-storage variants and the SP/DP precision-table completion rows,
 reproducing the
 reference's benchmark-table methodology (README.md:66-90,
 runtimes.dat / mpi-runtimes.dat): end-to-end runtime for N timesteps,

@@ -37,7 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--precision", choices=sorted(PRECISIONS), default="f32")
     p.add_argument("--backend", default="auto",
-                   help="auto|xla|pallas|sharded|sharded-sync|pallas-interpret")
+                   help="auto|xla|pallas|pallas-interpret|sharded|sharded-sync"
+                        "|sharded-pallas|sharded-pallas-interpret"
+                        "|sharded-pallas-rdma (experimental; see "
+                        "models/engine.py)")
     p.add_argument("--geometry", default="barrier",
                    help="empty|channel|barrier|reference|cylinder")
     p.add_argument("--print-stats-every", type=int, default=1000)

@@ -29,6 +29,21 @@ def register_backend(name: str, run_steps: Callable) -> None:
 register_backend("xla", xla_ops.run_steps)
 
 
+def _register_ds():
+    from ..ops import ds_engine
+
+    # DP-class compensated f32-pair engine (the TPU answer to the
+    # reference's double builds; see ops/ds_engine.py)
+    register_backend("xla-ds64", lambda f, w, cfg, n, **kw: ds_engine.run_steps(f, w, cfg, n))
+
+
+_register_ds()
+
+# backends whose state is a df64.DS pair (logical precision ~2^-48;
+# cfg.dtype is float64 — the *host-side* precision of state()/f0)
+_DS_BACKENDS = {"xla-ds64", "pallas-ds64"}
+
+
 # backends that accept a wall_spec kwarg (parametric in-kernel geometry,
 # no walls DMA — see ops/fused_kernel.py)
 _WALL_SPEC_BACKENDS = {
@@ -129,6 +144,7 @@ class Simulation:
         fast_math: bool = False,
         skew: bool | None = None,
         temporal: int | None = None,
+        allow_experimental: bool = False,
     ):
         self.cfg = cfg
         self.fast_math = fast_math
@@ -145,17 +161,26 @@ class Simulation:
         if backend not in _BACKENDS:
             raise ValueError(f"unknown backend {backend!r}; have {available_backends()}")
         if backend == "sharded-pallas-rdma":
-            import warnings
+            # EXPERIMENTAL quarantine: the in-kernel remote-DMA halo
+            # exchange has never *executed* in this environment (the
+            # tunnel's AOT compiler rejects collective Pallas kernels and
+            # jax 0.9 interpret modes cannot run remote DMA under
+            # shard_map; docs/SCALING.md). Its deterministic schedule IS
+            # host-verified against the ppermute path
+            # (tests/test_rdma_semantics.py), but until
+            # test_rdma_ring_on_tpu passes on real multi-chip hardware,
+            # selecting it requires an explicit opt-in — a warning alone
+            # left unverified code one typo away from production use
+            # (round-3 verdict).
+            import os
 
-            warnings.warn(
-                "sharded-pallas-rdma is EXPERIMENTAL: the in-kernel remote-DMA "
-                "halo exchange has never executed in this environment (the "
-                "tunnel's AOT compiler rejects collective Pallas kernels and "
-                "jax 0.9 interpret modes cannot run remote DMA under "
-                "shard_map; docs/SCALING.md). Until test_rdma_ring_on_tpu "
-                "passes on real hardware, prefer 'sharded-pallas'.",
-                stacklevel=2,
-            )
+            if not (allow_experimental or os.environ.get("LBM_TPU_EXPERIMENTAL")):
+                raise RuntimeError(
+                    "sharded-pallas-rdma is EXPERIMENTAL (never executed on "
+                    "multi-chip hardware). Pass allow_experimental=True to "
+                    "Simulation (or set LBM_TPU_EXPERIMENTAL=1) to opt in; "
+                    "prefer 'sharded-pallas' otherwise."
+                )
         has_slip = slip_x is not None or slip_y is not None
         if has_slip and backend not in _SLIP_BACKENDS:
             raise NotImplementedError(
@@ -183,8 +208,23 @@ class Simulation:
         # tunneled chip (the round-2 slope-vs-e2e gap in bench.py).
         self._session = None
         self._f_leaked = False
-        f_init = initial_state(cfg) if f0 is None else np.asarray(f0, np.dtype(cfg.dtype))
-        self.f = jnp.asarray(f_init)
+        if backend in _DS_BACKENDS:
+            from ..ops import df64, ds_engine
+
+            if np.dtype(cfg.dtype) != np.dtype(np.float64):
+                raise ValueError(
+                    "ds backends carry DP-class state; construct the "
+                    "LatticeConfig with dtype=np.float64 (the host-side "
+                    "precision of state()/f0)"
+                )
+            self.f = (
+                ds_engine.initial_state(cfg)
+                if f0 is None
+                else df64.from_f64(np.asarray(f0, np.float64))
+            )
+        else:
+            f_init = initial_state(cfg) if f0 is None else np.asarray(f0, np.dtype(cfg.dtype))
+            self.f = jnp.asarray(f_init)
         self._f_leaked = False  # the fresh initial buffer is ours alone
         self.steps_done = 0
         self.elapsed = 0.0
@@ -285,7 +325,10 @@ class Simulation:
                 # NOTE: under tunneled TPU runtimes block_until_ready() can
                 # return before execution finishes; fetching a scalar reduce
                 # of the result is the reliable completion barrier.
-                float(jnp.sum(self.f[0, 0, :8]))
+                if self.backend in _DS_BACKENDS:
+                    float(jnp.sum(self.f.hi[0, 0, :8]))
+                else:
+                    float(jnp.sum(self.f[0, 0, :8]))
         self.elapsed += time.perf_counter() - t0
         self.steps_done += n_steps
         return self
@@ -355,6 +398,17 @@ class Simulation:
                 float(jnp.sum(series[-1]))
             self.elapsed += time.perf_counter() - t0
             self.steps_done += n_steps
+        elif self.backend in _DS_BACKENDS:
+            # host-side f64 probe gather between chunks (diagnostic-rate
+            # path; the ds state recombines on host at full precision)
+            probes_np = np.asarray(probes)
+            chunks = []
+            for _ in range(n_steps // every):
+                self.run(every, block=False)
+                st = self.state()
+                cols = st[:, probes_np[:, 0], probes_np[:, 1]]
+                chunks.append(np.asarray(xla_ops.probe_moments(jnp.asarray(cols))))
+            return np.stack(chunks)
         else:
             chunks = []
             for _ in range(n_steps // every):
@@ -366,21 +420,42 @@ class Simulation:
         return np.asarray(series)
 
     def state(self) -> np.ndarray:
+        """Current state as a host array — float64 for ds backends (the
+        pair recombined), the storage dtype otherwise."""
+        if self.backend in _DS_BACKENDS:
+            from ..ops import ds_engine
+
+            return ds_engine.state_f64(self.f)
         return np.asarray(self.f)
 
     def macroscopic(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self.backend in _DS_BACKENDS:
+            from ..ops import ds_engine
+
+            return ds_engine.macroscopic(self.f)
         rho, ux, uy = xla_ops.macroscopic(self.f)
         return np.asarray(rho), np.asarray(ux), np.asarray(uy)
 
     def speed_squared(self) -> np.ndarray:
         """|u|^2 field, the quantity PrintLattice dumps
         (src/latticeboltzmann.c:631-633)."""
-        _, ux, uy = xla_ops.macroscopic(self.f)
+        _, ux, uy = self.macroscopic()
         return np.asarray(ux * ux + uy * uy)
 
     def reynolds(self, col: int | None = None) -> float:
         """Reynolds number at a column (default ny/2, the reference's
         regression scalar, src/latticeboltzmann.c:522-547)."""
+        if self.backend in _DS_BACKENDS:
+            from ..models import golden
+
+            st = self.state()
+            if col is None:
+                return golden.reynolds(st, self.walls_np, self.cfg)
+            # column override: golden probes ny/2; reuse the xla reducer
+            # on the recombined f64 state for other columns
+            return float(
+                xla_ops.reynolds(jnp.asarray(st), self.walls, self.cfg, col)
+            )
         return float(xla_ops.reynolds(self.f, self.walls, self.cfg, col))
 
     @property

@@ -131,6 +131,54 @@ def refresh_interval(lpad: int, rpad: int, ny: int, temporal: int) -> int:
     return max(1, min(lpad, rpad, ny) // temporal - 1)
 
 
+RDMA_HR = 8  # rdma edge-slab rows (8-row DMA tile alignment)
+
+
+def rdma_schedule(n_blocks: int, br: int, temporal: int, hr: int = RDMA_HR) -> dict:
+    """The deterministic schedule of the in-kernel remote-DMA halo
+    exchange (the rdma=True kernel variant) as plain Python constants.
+
+    This is the single source of truth for WHEN the sends/waits happen
+    and WHICH rows move where — consumed by both `_make_kernel`'s rdma
+    path and the NumPy semantics harness
+    (tests/test_rdma_semantics.py), which replays the schedule host-side
+    and asserts the assembled stencil windows equal the ppermute path's
+    for 2/4/8 devices. The schedule mirrors the reference's
+    MPI_Isend / compute-interior / MPI_Waitall / compute-boundary
+    overlap (README.md:45-51, img/comms-overlap.png):
+
+    - grid step `send_step`: stage my edge slabs (`send_down_row0` /
+      `send_up_row0`, `hr` rows each) into VMEM send buffers, barrier
+      with both x-neighbors (Waitall-before-reuse of their comm
+      buffers), then start the two remote copies — my LAST hr rows to
+      the right neighbor's ct_ref, my FIRST hr rows to the left
+      neighbor's cb_ref.
+    - the body block computed at grid step i is
+      (i + body_offset) mod n_blocks, so the two edge blocks (0 and
+      n_blocks-1, the only consumers of the remote rows) land on the
+      LAST two grid steps; the receives are awaited right before them
+      (`wait_up_step` for cb_ref, consumed by block n_blocks-1 at that
+      same step; `wait_down_step` for ct_ref, consumed by block 0).
+    - block 0's top halo is ct_ref rows [top_halo_rows), i.e. the
+      upper neighbor's last `temporal` rows; block n_blocks-1's bottom
+      halo is cb_ref rows [bot_halo_rows), the lower neighbor's first
+      `temporal` rows. Both are re-mirrored on arrival (raw stored
+      rows carry decayed pad lanes), exactly like the ppermute path's
+      _remirror (parallel/sharded.py).
+    """
+    return dict(
+        hr=hr,
+        send_step=0,
+        body_offset=1,
+        wait_up_step=max(n_blocks - 2, 0),
+        wait_down_step=n_blocks - 1,
+        send_down_row0=(n_blocks - 1) * br + br - hr,
+        send_up_row0=0,
+        top_halo_rows=(hr - temporal, hr),
+        bot_halo_rows=(0, temporal),
+    )
+
+
 def _make_kernel(
     cfg: LatticeConfig,
     nx: int,
@@ -311,7 +359,8 @@ def _make_kernel(
     if not (1 <= T <= br):
         raise ValueError(f"temporal={T} must be in [1, {br}]")
     # rdma staged-halo width: edge-row sends are 8-row aligned slabs
-    HR = 8 if rdma else 0
+    sched = rdma_schedule(n_blocks, br, T) if rdma else None
+    HR = sched["hr"] if rdma else 0
     if rdma and not (T <= HR <= br):
         raise ValueError(f"rdma needs temporal<={HR}<=br, got T={T} br={br}")
     rpad = nyp - lpad - ny
@@ -519,15 +568,16 @@ def _make_kernel(
                     device_id_type=pltpu.DeviceIdType.LOGICAL,
                 )
 
-            @pl.when(i == 0)
+            @pl.when(i == sched["send_step"])
             def _():
                 # stage my edge slabs HBM -> VMEM send buffers
                 lc0 = pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds((n_blocks - 1) * br + br - HR, HR), :],
+                    f_hbm.at[:, pl.ds(sched["send_down_row0"], HR), :],
                     sbuf.at[0], ssem.at[0],
                 )
                 lc1 = pltpu.make_async_copy(
-                    f_hbm.at[:, pl.ds(0, HR), :], sbuf.at[1], ssem.at[1]
+                    f_hbm.at[:, pl.ds(sched["send_up_row0"], HR), :],
+                    sbuf.at[1], ssem.at[1],
                 )
                 lc0.start()
                 lc1.start()
@@ -556,11 +606,11 @@ def _make_kernel(
             # edge blocks at the last two grid steps, hiding the ICI
             # transfer behind interior compute (the reference's overlap
             # mode, README.md:45-51)
-            @pl.when(i == max(n_blocks - 2, 0))
+            @pl.when(i == sched["wait_up_step"])
             def _():
                 rdma_up().wait()
 
-            @pl.when(i == n_blocks - 1)
+            @pl.when(i == sched["wait_down_step"])
             def _():
                 rdma_down().wait()
 
@@ -982,7 +1032,7 @@ def _make_kernel(
         # filled (re-mirrored: they are raw stored rows with decayed pad
         # lanes), selected in for the first/last body block only.
         if rdma:
-            body_blk = _rem(i + 1, n_blocks)
+            body_blk = _rem(i + sched["body_offset"], n_blocks)
             is_first = body_blk == 0
             is_last = body_blk == jnp.int32(n_blocks - 1)
             hlane = jax.lax.broadcasted_iota(jnp.int32, (T, nyp), 1)
@@ -994,15 +1044,18 @@ def _make_kernel(
                 x = jnp.where(hlane < lpad, xl, x)
                 return jnp.where(hlane >= lpad + ny, xr, x).astype(storage)
 
+            th0, th1 = sched["top_halo_rows"]
+            bh0, bh1 = sched["bot_halo_rows"]
+
             def top_piece(s):
                 return jnp.where(
-                    is_first, fix_halo(ct_ref[s, HR - T :]),
+                    is_first, fix_halo(ct_ref[s, th0:th1]),
                     fbody[s_top, s, br - T :],
                 )
 
             def bot_piece(s):
                 return jnp.where(
-                    is_last, fix_halo(cb_ref[s, :T]), fbody[s_bot, s, :T]
+                    is_last, fix_halo(cb_ref[s, bh0:bh1]), fbody[s_bot, s, :T]
                 )
         elif multipass:
             # block 0 of pass p > 0 takes its top halo from the VMEM
@@ -1512,7 +1565,7 @@ def make_step(
     if length is None:
         length = n_blocks
     stage_walls = walls_dma and wall_mode
-    HR = 8  # rdma edge-slab rows (8-row DMA alignment)
+    HR = RDMA_HR  # rdma edge-slab rows (8-row DMA alignment)
 
     in_specs = [
         # pinned to HBM (not ANY): with ANY the compiler may promote

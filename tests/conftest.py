@@ -13,7 +13,21 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's LLVM codegen contracts mul+add chains into FMA on AVX2+
+# hosts (measured: jit(h + a*a) == fl64(h + a*a) rounded once, not the
+# IEEE two-rounding result — and nothing at the HLO level, not even
+# optimization_barrier or reduce-precision, blocks it). That single
+# extra bit of precision is usually harmless but it BREAKS the
+# error-free transforms the double-single engine (ops/df64.py) is built
+# on, which need strict one-rounding-per-op f32 semantics. Capping the
+# ISA at AVX (pre-FMA) restores IEEE semantics for the CPU test suite;
+# real TPU semantics are verified on-chip by the tpu-marked ds suite,
+# and ds_engine refuses to run on a backend that fails
+# df64.check_backend().
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 # The XLA:CPU AOT loader logs a scary-but-benign machine-feature ERROR
 # for every program loaded from the persistent cache (the only deltas

@@ -278,7 +278,13 @@ def test_session_persists_across_run_calls():
     run of the total step count. A state read between advances must
     leave the session intact."""
     cfg = LatticeConfig(nx=16, ny=40, dtype=np.float32)
-    walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
+    # explicit barrier extents: the proportional defaults round to an
+    # empty column range at 16x40, which would silently degrade this to
+    # a plain-channel test (advisor finding, round 3)
+    walls = geometry.channel_with_barrier(
+        cfg.nx, cfg.ny, barrier_rows=(5, 9), barrier_cols=(10, 13)
+    )
+    assert walls.sum() > 2 * cfg.ny  # interior obstacle present
     sim = Simulation(cfg, walls, backend="pallas-interpret")
     sim.run(5)
     mid = sim.state()  # non-destructive snapshot mid-sequence
@@ -287,11 +293,15 @@ def test_session_persists_across_run_calls():
     assert sim._session is not None and sim._session.loaded
     assert sim.steps_done == 16
     ref = Simulation(cfg, walls, backend="xla")
+    # rtol 2e-6: the kernel's pair-shared feq factoring and the XLA
+    # path agree bitwise only at f64 (test_xla_parity); with the real
+    # barrier in the scene the f32 association-order noise peaks just
+    # above 1e-6 after 16 steps
     np.testing.assert_allclose(
-        mid, ref.run(5).state(), rtol=1e-6, atol=1e-9
+        mid, ref.run(5).state(), rtol=2e-6, atol=1e-9
     )
     np.testing.assert_allclose(
-        sim.state(), ref.run(11).state(), rtol=1e-6, atol=1e-9
+        sim.state(), ref.run(11).state(), rtol=2e-6, atol=1e-9
     )
 
 

@@ -95,8 +95,11 @@ def test_pallas_fused_probes_every_1(small_walls):
     assert pal.steps_done == 6
     ref = Simulation(cfg, small_walls, backend="xla")
     series_x = ref.run_probed(6, PROBES)
-    np.testing.assert_allclose(series_p, series_x, rtol=1e-5, atol=1e-7)
-    np.testing.assert_allclose(pal.state(), ref.state(), rtol=1e-5, atol=1e-7)
+    # atol 2e-7: the suite caps XLA:CPU at AVX (no FMA contraction; see
+    # conftest.py) so the two paths' association-order noise on the
+    # near-zero uy probes peaks just above 1e-7 after 6 steps
+    np.testing.assert_allclose(series_p, series_x, rtol=1e-5, atol=2e-7)
+    np.testing.assert_allclose(pal.state(), ref.state(), rtol=1e-5, atol=2e-7)
 
 
 def test_pallas_fused_probes_every_8(small_walls):
@@ -133,8 +136,10 @@ def test_sharded_pallas_fused_probes():
     ref = Simulation(cfg, walls, backend="xla")
     s1 = ref.run_probed(8, PROBES)
     assert s.shape == (4, 3, 3)
-    np.testing.assert_allclose(s, s1[1::2], rtol=1e-5, atol=1e-7)
-    np.testing.assert_allclose(sh.state(), ref.state(), rtol=1e-5, atol=1e-7)
+    # atol 2e-7: AVX-capped CPU suite (no FMA; conftest.py) — same
+    # association-order noise note as test_pallas_fused_probes_every_1
+    np.testing.assert_allclose(s, s1[1::2], rtol=1e-5, atol=2e-7)
+    np.testing.assert_allclose(sh.state(), ref.state(), rtol=1e-5, atol=2e-7)
 
 
 def test_sharded_pallas_fused_probes_odd_every():
@@ -145,7 +150,8 @@ def test_sharded_pallas_fused_probes_odd_every():
     s = sh.run_probed(6, PROBES, every=3)
     ref = Simulation(cfg, walls, backend="xla")
     s1 = ref.run_probed(6, PROBES)
-    np.testing.assert_allclose(s, s1[2::3], rtol=1e-5, atol=1e-7)
+    # atol 2e-7: AVX-capped CPU suite (no FMA; conftest.py)
+    np.testing.assert_allclose(s, s1[2::3], rtol=1e-5, atol=2e-7)
 
 
 def test_probe_moments_accumulate_f32_for_bf16():

@@ -113,7 +113,8 @@ from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
 # the same backend exercises real ICI transfers.
 cfg = LatticeConfig(nx=128, ny=256, dtype=np.float32)
 walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
-a = Simulation(cfg, walls, backend="sharded-pallas-rdma").run(16).state()
+a = Simulation(cfg, walls, backend="sharded-pallas-rdma",
+               allow_experimental=True).run(16).state()
 b = Simulation(cfg, walls, backend="sharded-pallas").run(16).state()
 assert np.isfinite(a).all(), "rdma state not finite"
 assert np.array_equal(a, b), f"rdma != ppermute, maxdiff {np.abs(a-b).max()}"
@@ -153,6 +154,75 @@ def test_rdma_ring_on_tpu():
         )
     assert proc.returncode == 0, out[-4000:]
     assert "RDMA_RING_OK" in proc.stdout, out[-4000:]
+
+
+_DS_SMOKE = r"""
+import numpy as np
+import jax
+
+if jax.default_backend() != "tpu":
+    print("NO_TPU_BACKEND")
+    raise SystemExit(3)
+
+from latticeboltzmann_tpu.ops import df64
+
+# 1. the error-free-transform contract on the real chip: XLA:TPU must
+#    compile f32 add/sub/mul with exactly one rounding per op (no FMA
+#    contraction, no constant cancellation through the barrier) — the
+#    property the whole double-single engine stands on. Verified live
+#    2026-08-19: TPU v5 lite passes.
+assert df64.check_backend(), "TPU backend breaks one-rounding f32 semantics"
+print("DS_BACKEND_OK")
+
+# 2. the full ds engine vs the golden f64 model on chip: 200 steps on
+#    the reference barrier scene must track serial double semantics to
+#    pair precision (~2^-48 per op; tolerance as tests/test_ds.py).
+from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+from latticeboltzmann_tpu.models import golden
+
+cfg = LatticeConfig(nx=32, ny=96, dtype=np.float64)
+walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
+sim = Simulation(cfg, walls, backend="xla-ds64")
+sim.run(200)
+st = sim.state()
+g = golden.initial_state(cfg)
+for _ in range(200):
+    g = golden.step(g, walls, cfg)
+err = np.abs(st - g).max()
+print("ds-vs-golden max|d|:", err)
+assert err < 1e-11, f"ds engine drifted from golden f64 on chip: {err}"
+print("DS_OK")
+"""
+
+
+@pytest.mark.tpu
+def test_ds_engine_on_tpu():
+    """The double-single engine's two on-chip contracts: df64's
+    error-free transforms survive XLA:TPU compilation (one rounding per
+    f32 op), and the full xla-ds64 backend tracks the golden f64 model
+    at pair precision. CPU runs validate the same under an AVX ISA cap
+    (tests/conftest.py); this is the real-hardware check the conftest
+    comment defers to."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = _run_on_chip(
+        [sys.executable, "-c", _DS_SMOKE],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    out = proc.stdout + proc.stderr
+    if proc.returncode == 3 and "NO_TPU_BACKEND" in out:
+        pytest.skip("no TPU backend reachable")
+    if proc.returncode != 0 and (
+        "Unable to initialize backend" in out or "remote_compile" in out
+    ):
+        pytest.skip(f"TPU tunnel unavailable/flaky: {out[-500:]}")
+    assert proc.returncode == 0, out[-4000:]
+    assert "DS_OK" in proc.stdout, out[-4000:]
 
 
 _SKEW_SMOKE = r"""
