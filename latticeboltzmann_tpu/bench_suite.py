@@ -1,9 +1,17 @@
-"""Benchmark suite — ten configs: the five BASELINE.json configs plus
-bf16-storage variants and the SP/DP precision-table completion rows,
-reproducing the
+"""Benchmark suite — twelve configs: the five BASELINE.json configs,
+bf16-storage variants, the SP/DP precision-table completion rows, and
+the double-single (pair-DP) fused-kernel rows, reproducing the
 reference's benchmark-table methodology (README.md:66-90,
 runtimes.dat / mpi-runtimes.dat): end-to-end runtime for N timesteps,
 MLUPS derived as NX*NY*steps/runtime/1e6.
+
+Every row carries the self-defending measurement bench.py pioneered for
+the headline config (round-2 postmortem): a slope-timed kernel rate
+from two step counts (cancels fixed per-call overhead, two independent
+estimates must agree), >=2 end-to-end runs all recorded, and a
+`degraded_environment` flag when the e2e rate falls below half the
+slope rate (the environment, not the kernel, is then eating the
+difference).
 
 Usage:  python -m latticeboltzmann_tpu.bench_suite [--steps 10000]
         [--quick] [--out BENCH_RESULTS.md]
@@ -44,21 +52,33 @@ CONFIGS = [
      13.76, "AMD R9 280X OpenCL DP (README.md:80)"),
     ("800x4000 f64 (emulated DP)", 800, 4000, "f64", "reference", "xla",
      27.44, "AMD R9 280X OpenCL DP (README.md:90)"),
+    # DP-class PERF rows: the double-single (compensated f32-pair)
+    # fused Pallas kernel (ops/fused_ds_kernel.py) — ~2^-48 relative
+    # precision per op, validated at ~1e-12 vs the golden serial-double
+    # model (tests/test_ds.py, docs/NUMERICS.md). This is the TPU-native
+    # answer to the reference's DP columns; the emulated-f64 rows above
+    # remain the bitwise-correctness anchors.
+    ("400x4000 ds64 pair-DP (fused Pallas)", 400, 4000, "ds64", "reference",
+     "pallas-ds64", 13.76, "AMD R9 280X OpenCL DP (README.md:80)"),
+    ("800x4000 ds64 pair-DP (fused Pallas)", 800, 4000, "ds64", "reference",
+     "pallas-ds64", 27.44, "AMD R9 280X OpenCL DP (README.md:90)"),
 ]
 
 
 # regenerated into BENCH_RESULTS.md on every --out run so the
 # methodology and physics-validation context survive table refreshes
 METHODOLOGY_NOTE = """\
-Timing method: each row is ONE warm end-to-end run (compile + cache
-warmup excluded) from `python -m latticeboltzmann_tpu.bench_suite`;
-per-run Reynolds and sanity bits are in BENCH_RESULTS.jsonl. The
-headline 800x4000 f32 config additionally has the self-defending
-`bench.py` artifact of record (>=3 end-to-end runs + slope-timed
-kernel rate + degraded-environment detection): see `BENCH_r03.json`
-when the driver publishes it, and README for the session-measured
-slope history. Single-run rows through the tunneled chip vary up to
-~10% between sessions; compare rows within one refresh, not across.
+Timing method: every row carries the self-defending measurement
+originally built for the headline `bench.py` gate (round-2 postmortem):
+a slope-timed kernel rate from two step counts (cancels fixed per-call
+tunnel overhead; two independent estimates must agree within 1.3x for
+`slope_valid`), >=2 warm end-to-end runs (all recorded in
+BENCH_RESULTS.jsonl as `e2e_runs_s`, best shown here), and a
+`degraded_environment` flag when the best e2e rate is below half the
+slope rate. The table's MLUPS column is the best END-TO-END rate (the
+honest user-visible number); `slope_mlups` in the jsonl is the device's
+sustained kernel rate. Rates through the tunneled chip still vary a few
+percent between sessions; compare rows within one refresh, not across.
 
 Physics validation: every row must show developed flow, not just finite
 fields (`bench_suite` fails a row otherwise). Rows whose probe column
@@ -73,6 +93,49 @@ and pinned by `test_bf16_storage_computes_in_f32`. f64 DP rows run the
 XLA engine: double precision is software-emulated on TPU, so they are
 correctness configs (bitwise-comparable to the serial C build), not
 perf configs."""
+
+
+def _defended_timing(sim, sites: int, steps: int, e2e_runs: int = 2) -> dict:
+    """bench.py's two-measurement defense, sized for a 12-row suite:
+    slope rate between 240- and 720-step runs (multiples of 240 =
+    lcm(2T) over the temporal depths in use, so both hit the same
+    zero-remainder pre-compiled runner; two independent estimates must
+    agree within 1.3x), then `e2e_runs` full runs, all recorded. A best
+    e2e below half the slope rate flags `degraded_environment` — the
+    number is then an environment artifact, not a kernel rate."""
+
+    def timed(n: int) -> float:
+        sim.elapsed = 0.0
+        sim.steps_done = 0
+        sim.run(n)
+        return sim.elapsed
+
+    n1, n2 = 240, 720
+    timed(n1)  # absorb one-off effects at this size
+    t1s = [timed(n1) for _ in range(2)]
+    t2s = [timed(n2) for _ in range(2)]
+    per_step = (min(t2s) - min(t1s)) / (n2 - n1)
+    slope_mlups = sites / per_step / 1e6 if per_step > 0 else 0.0
+    slopes = [(t2s[0] - t1s[0]) / (n2 - n1), (t2s[1] - t1s[1]) / (n2 - n1)]
+    slope_valid = bool(
+        per_step > 0
+        and all(s > 0 for s in slopes)
+        and max(slopes) <= 1.3 * min(slopes)
+    )
+    e2e_times = [timed(steps) for _ in range(e2e_runs)]
+    best = min(e2e_times)
+    e2e_mlups = sites * steps / best / 1e6
+    return {
+        "runtime_s": round(best, 3),
+        "mlups": round(e2e_mlups, 1),
+        "e2e_runs_s": [round(t, 3) for t in e2e_times],
+        "slope_mlups": round(slope_mlups, 1),
+        "slope_us_per_step": round(per_step * 1e6, 2),
+        "slope_valid": slope_valid,
+        "degraded_environment": bool(
+            slope_valid and e2e_mlups < 0.5 * slope_mlups
+        ),
+    }
 
 
 def run_config(name, nx, ny, precision, geo, backend, steps, warmup=200):
@@ -90,6 +153,11 @@ def run_config(name, nx, ny, precision, geo, backend, steps, warmup=200):
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16
+    elif precision == "ds64":
+        # pair-DP: host-side state is float64 (the recombined pair) but
+        # the device runs pure f32 — no jax x64 mode needed (and none
+        # wanted: x64 poisons later Pallas compiles)
+        dtype = np.float64
     else:
         dtype = np.float32
 
@@ -98,11 +166,7 @@ def run_config(name, nx, ny, precision, geo, backend, steps, warmup=200):
         walls = geometry.build(geo, nx, ny)
         sim = Simulation(cfg, walls, backend=backend)
         sim.run(min(warmup, steps))
-        sim.elapsed = 0.0
-        sim.steps_done = 0
-        sim.run(steps)
-        runtime = sim.elapsed
-        mlups = sim.mlups
+        timing = _defended_timing(sim, nx * ny, steps)
         re = sim.reynolds()
         # physics validation: the run must show actual developed flow,
         # not just finite numbers. At very wide lattices the reference's
@@ -131,8 +195,7 @@ def run_config(name, nx, ny, precision, geo, backend, steps, warmup=200):
         "precision": precision,
         "backend": backend,
         "steps": steps,
-        "runtime_s": round(runtime, 3),
-        "mlups": round(mlups, 1),
+        **timing,
         "reynolds": float(re),
         "sane": ok,
     }

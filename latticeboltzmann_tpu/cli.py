@@ -40,7 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto|xla|pallas|pallas-interpret|sharded|sharded-sync"
                         "|sharded-pallas|sharded-pallas-interpret"
                         "|sharded-pallas-rdma (experimental; see "
-                        "models/engine.py)")
+                        "models/engine.py)"
+                        "|xla-ds64|pallas-ds64|pallas-ds64-interpret "
+                        "(pair-DP; use with --precision f64)")
     p.add_argument("--geometry", default="barrier",
                    help="empty|channel|barrier|reference|cylinder")
     p.add_argument("--print-stats-every", type=int, default=1000)

@@ -30,18 +30,34 @@ register_backend("xla", xla_ops.run_steps)
 
 
 def _register_ds():
-    from ..ops import ds_engine
+    from ..ops import ds_engine, fused_ds_kernel
 
-    # DP-class compensated f32-pair engine (the TPU answer to the
-    # reference's double builds; see ops/ds_engine.py)
+    # DP-class compensated f32-pair engines (the TPU answer to the
+    # reference's double builds; see ops/ds_engine.py and
+    # ops/fused_ds_kernel.py)
     register_backend("xla-ds64", lambda f, w, cfg, n, **kw: ds_engine.run_steps(f, w, cfg, n))
+    register_backend(
+        "pallas-ds64",
+        lambda f, w, cfg, n, **kw: fused_ds_kernel.run_steps(f, w, cfg, n),
+    )
+    register_backend(
+        "pallas-ds64-interpret",
+        # temporal=2 bounds the interpreter's compile cost (each extra
+        # sub-step unrolls the whole ~40-ds-op DAG into the XLA:CPU
+        # program; T=4 measured tens of minutes to compile on a 1-core
+        # host). Results are bitwise T-independent, so interpret mode —
+        # which exists for semantics, not perf — loses nothing.
+        lambda f, w, cfg, n, **kw: fused_ds_kernel.run_steps(
+            f, w, cfg, n, interpret=True, temporal=2
+        ),
+    )
 
 
 _register_ds()
 
 # backends whose state is a df64.DS pair (logical precision ~2^-48;
 # cfg.dtype is float64 — the *host-side* precision of state()/f0)
-_DS_BACKENDS = {"xla-ds64", "pallas-ds64"}
+_DS_BACKENDS = {"xla-ds64", "pallas-ds64", "pallas-ds64-interpret"}
 
 
 # backends that accept a wall_spec kwarg (parametric in-kernel geometry,

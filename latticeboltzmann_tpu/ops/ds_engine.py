@@ -50,23 +50,30 @@ def initial_state(cfg: LatticeConfig) -> DS:
     return df64.from_f64(f)
 
 
-def _consts(cfg: LatticeConfig) -> dict:
+def _consts(cfg: LatticeConfig, literal: bool = False) -> dict:
     """Physics constants as ds scalars, split from exact float64.
     Derived values (3/csq etc.) are computed in f64 BEFORE splitting, so
     each constant is a ~2^-48-exact image of the golden model's double
     value. (Golden computes 3*u/csq as two ops; folding to (3/csq)*u
-    differs by <=1 ulp64 — far below the pair precision.)"""
+    differs by <=1 ulp64 — far below the pair precision.)
+
+    literal=True builds plain-numpy pair constants for compiled Pallas
+    kernel bodies (df64.const_literal — Mosaic applies no constant
+    cancellation and cannot lower the optimization_barrier the XLA form
+    needs)."""
+    mk = df64.const_literal if literal else df64.const
     csq = np.float64(cfg.csq)
     return dict(
-        itau=df64.const(1.0 / np.float64(cfg.tau)),
-        c3=df64.const(3.0 / csq),
-        c45=df64.const(4.5 / (csq * csq)),
-        c15=df64.const(1.5 / csq),
-        w0=df64.const(W[0]),
-        w14=df64.const(W[1]),
-        w58=df64.const(W[5]),
-        a14=df64.const(np.float64(cfg.accel) * np.float64(W[1])),
-        a58=df64.const(np.float64(cfg.accel) * np.float64(W[5])),
+        one=mk(1.0),
+        itau=mk(1.0 / np.float64(cfg.tau)),
+        c3=mk(3.0 / csq),
+        c45=mk(4.5 / (csq * csq)),
+        c15=mk(1.5 / csq),
+        w0=mk(W[0]),
+        w14=mk(W[1]),
+        w58=mk(W[5]),
+        a14=mk(np.float64(cfg.accel) * np.float64(W[1])),
+        a58=mk(np.float64(cfg.accel) * np.float64(W[5])),
     )
 
 
@@ -137,7 +144,7 @@ def collide_planes(p: list[DS], C: dict) -> list[DS]:
 
     num_x = S(A(A(p[6], p[2]), p[5]), A(A(p[7], p[4]), p[8]))
     num_y = S(A(A(p[5], p[1]), p[8]), A(A(p[6], p[3]), p[7]))
-    irho = df64.recip(density)
+    irho = df64.recip(density, one=C["one"])
     u_x = M(num_x, irho)
     u_y = M(num_y, irho)
     uterm = M(C["c15"], A(M(u_x, u_x), M(u_y, u_y)))  # 1.5|u|^2/csq
@@ -148,7 +155,7 @@ def collide_planes(p: list[DS], C: dict) -> list[DS]:
 
     out = [None] * NSPEEDS
     # speed 0: feq = w0 * rho * (1 - uterm)
-    feq0 = M(M(C["w0"], density), S(df64.const(1.0), uterm))
+    feq0 = M(M(C["w0"], density), S(C["one"], uterm))
     out[0] = A(p[0], M(itau, S(feq0, p[0])))
 
     # +/- pairs (sp pulls along +e, sn along -e): u_sn = -u_sp, so the
@@ -167,6 +174,93 @@ def collide_planes(p: list[DS], C: dict) -> list[DS]:
         feq_n = M(wd, base_n)
         out[sp_] = A(p[sp_], M(itau, S(feq_p, p[sp_])))
         out[sn] = A(p[sn], M(itau, S(feq_n, p[sn])))
+    return out
+
+
+def _consts_fast(cfg: LatticeConfig, literal: bool = False) -> dict:
+    """Constants for collide_planes_fast: relaxation folded into the
+    equilibrium weights (c1 = 1-1/tau, iw_s = w_s/tau — the f32 fused
+    kernel's factoring, ops/fused_kernel.py stream_collide_window) with
+    host-precomputed Dekker splits (df64.split_const) so constant
+    multiplies skip the runtime split. In interpret/XLA mode every
+    scalar is wrapped in optimization_barrier (XLA's constant
+    cancellation, see df64.const); compiled Mosaic takes raw literals."""
+    csq = np.float64(cfg.csq)
+    itau = 1.0 / np.float64(cfg.tau)
+    c = dict(
+        c1=df64.split_const(1.0 - itau),
+        iw0=df64.split_const(np.float64(W[0]) * itau),
+        iw14=df64.split_const(np.float64(W[1]) * itau),
+        iw58=df64.split_const(np.float64(W[5]) * itau),
+        c3=df64.split_const(3.0 / csq),
+        csixth=df64.split_const(csq / 6.0),
+    )
+    one = df64.const_literal(1.0)
+    a14 = df64.const_literal(np.float64(cfg.accel) * np.float64(W[1]))
+    a58 = df64.const_literal(np.float64(cfg.accel) * np.float64(W[5]))
+    if not literal:
+        flat = jax.lax.optimization_barrier(
+            tuple(jnp.float32(v) for four in c.values() for v in four)
+            + (one.hi, one.lo, a14.hi, a14.lo, a58.hi, a58.lo)
+        )
+        keys = list(c)
+        c = {k: tuple(flat[4 * i : 4 * i + 4]) for i, k in enumerate(keys)}
+        n = 4 * len(keys)
+        one = DS(flat[n], flat[n + 1])
+        a14 = DS(flat[n + 2], flat[n + 3])
+        a58 = DS(flat[n + 4], flat[n + 5])
+    c.update(one=one, a14=a14, a58=a58)
+    return c
+
+
+def collide_planes_fast(p: list[DS], C: dict) -> list[DS]:
+    """The fast-tier twin of collide_planes: same physics, reassociated
+    for op count (~1.1k f32 flops/site vs ~2.6k):
+
+    - error-free 7/4-term accumulations for the density and velocity
+      numerators (df64.acc) with the f32 kernel's shared pair sums;
+    - one-Newton reciprocal from the f32 hardware divide;
+    - relaxation folded into the weights (out = c1*p + iw*rho*(q +/- eu),
+      quadratic term shared between opposite speeds, *0.5 exact);
+    - sloppy adds / unnormalized muls (df64.add_s/mul_nr/mul_c) on the
+      interior of the DAG.
+
+    Worst-case per-op error ~2^-44 (vs 2^-47): docs/NUMERICS.md measures
+    the end-to-end drift vs the golden f64 model — both tiers sit 3+
+    orders below the DP-class 1e-9 observable target. C from
+    _consts_fast."""
+    A, S = df64.add_s, df64.sub_s
+
+    d56 = A(p[5], p[6])
+    d78 = A(p[7], p[8])
+    d58 = A(p[5], p[8])
+    d67 = A(p[6], p[7])
+    density = df64.acc([p[0], p[1], p[2], p[3], p[4], d56, d78])
+    num_x = df64.acc([p[2], df64.neg(p[4]), d56, df64.neg(d78)])
+    num_y = df64.acc([p[1], df64.neg(p[3]), d58, df64.neg(d67)])
+    irho = df64.recip_newton(density, one=C["one"])
+    u_x = df64.mul_nr(num_x, irho)
+    u_y = df64.mul_nr(num_y, irho)
+    ux3 = df64.mul_c(u_x, C["c3"])
+    uy3 = df64.mul_c(u_y, C["c3"])
+    ssum = A(df64.mul_nr(ux3, ux3), df64.mul_nr(uy3, uy3))
+    base = S(C["one"], df64.mul_c(ssum, C["csixth"]))
+    r0 = df64.mul_c(density, C["iw0"])
+    r14 = df64.mul_c(density, C["iw14"])
+    r58 = df64.mul_c(density, C["iw58"])
+
+    out = [None] * NSPEEDS
+    out[0] = A(df64.mul_c(p[0], C["c1"]), df64.mul_nr(r0, base))
+    half = np.float32(0.5)
+    for sp_, sn, eu, r_ in (
+        (1, 3, uy3, r14),
+        (2, 4, ux3, r14),
+        (5, 7, A(ux3, uy3), r58),
+        (6, 8, S(ux3, uy3), r58),
+    ):
+        q = A(base, df64.scale_pow2(df64.mul_nr(eu, eu), half))
+        out[sp_] = A(df64.mul_c(p[sp_], C["c1"]), df64.mul_nr(r_, A(q, eu)))
+        out[sn] = A(df64.mul_c(p[sn], C["c1"]), df64.mul_nr(r_, S(q, eu)))
     return out
 
 

@@ -13,6 +13,11 @@ README.md:44-57). Single-chip era analog, two modes:
                the collective-permute (halo exchange) time extracted —
                the comm-%% number the reference reads off its MPI traces
 
+  --mode predict  the mpi-runtimes.dat analog for a 1-chip environment:
+               measured per-shard step times at each shard height + an
+               ICI halo-traffic model -> a 2/4/8-chip scaling table,
+               clearly labeled PREDICTED (see mode_predict docstring)
+
 Writes markdown rows to stdout; paste into docs/SCALING.md.
 """
 
@@ -223,9 +228,107 @@ def _perfetto_overlap(trace_dir):
     return p_tot, p_ov
 
 
+# v5e ICI: ~4.5e10 B/s per direction per link on the 1-D ring the row
+# sharding uses (jax-ml.github.io/scaling-book, v5e chapter); the halo
+# permutes run both directions concurrently on separate links.
+ICI_BW = 4.5e10
+ICI_LAT = 2e-6  # per-permute launch+latency allowance (s)
+
+
+def mode_predict(args):
+    """Predicted multi-chip scaling table — the mpi-runtimes.dat analog
+    (reference mpi-runtimes.dat:1-96) for an environment with ONE real
+    chip. Method, clearly labeled predicted:
+
+    - per-shard compute time t_shard(D) is MEASURED on the real chip:
+      the 'sharded-pallas' backend on a 1-device mesh at the shard's row
+      count (nx/D, ny) — the exact per-device program a D-chip run
+      executes (interior + edge launches, self-ppermute, re-mirror),
+      slope-timed between two step counts to cancel dispatch overhead;
+    - halo traffic per pass is 9*T*nyp*itemsize bytes each direction
+      (parallel/sharded.py one_pass); t_comm = bytes/ICI_BW + ICI_LAT
+      per pass, divided by T per step;
+    - overlap mode launches the interior segment with no data
+      dependency on the ppermutes, so the prediction is
+      max(t_shard, t_comm + t_edges) per step; t_edges (the two 1-block
+      edge launches that consume the halos) is bounded by
+      2/n_blocks * t_shard. Sync-mode prediction is t_shard + t_comm.
+
+    Plug-in ready: on a real multi-chip machine the same rows re-run
+    with `--mode tpu` on the D-device mesh replace these predictions."""
+    import numpy as np
+
+    import jax
+    from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+    from latticeboltzmann_tpu.ops import fused_kernel as fk
+
+    print(f"device: {jax.devices()[0]}  (1 real chip; table is PREDICTED)")
+    for nx, ny in ((400, 2000), (800, 4000)):
+        cfg = LatticeConfig(nx=nx, ny=ny, dtype=np.float32)
+        T = fk.DEFAULT_TEMPORAL
+        nyp, _ = fk.pick_layout(ny, T)
+        halo_bytes = 9 * T * nyp * 4  # per direction per pass
+        t_comm_pass = halo_bytes / ICI_BW + ICI_LAT
+        print(f"\n#{nx}x{ny}, {args.steps} steps SP (f32), PREDICTED from "
+              f"1-chip shard measurements + ICI model")
+        print(f"#halo {halo_bytes/1e3:.0f} KB/direction/pass, "
+              f"t_comm {t_comm_pass*1e6:.1f} us/pass (T={T})")
+        # measure the per-shard program at every kernel-tileable height,
+        # fit t(L) = a + b*L (a = the per-step fixed cost every shard
+        # pays regardless of height), and read untileable heights off
+        # the fit — on real hardware those shards would round their
+        # block size or pad rows, paying >= the fitted time.
+        heights = [L for L in (nx, nx // 2, nx // 4, nx // 8)
+                   if fk.pick_block_config(L, nyp, 4, T, walls_dma=False)[0]]
+        meas = {}
+        for L in heights:
+            walls = geometry.channel_with_barrier(L, ny)
+            shard_cfg = LatticeConfig(nx=L, ny=ny, dtype=np.float32)
+            sim = Simulation(shard_cfg, walls, backend="sharded-pallas")
+            n1, n2 = 240, 720
+            sim.run(n1)
+
+            def timed(n):
+                sim.elapsed = 0.0
+                sim.steps_done = 0
+                sim.run(n)
+                return sim.elapsed
+
+            timed(n1)
+            t1 = min(timed(n1) for _ in range(2))
+            t2 = min(timed(n2) for _ in range(2))
+            meas[L] = (t2 - t1) / (n2 - n1)
+        ls = np.array(sorted(meas))
+        ts = np.array([meas[l] for l in ls])
+        b, a = np.polyfit(ls, ts, 1) if len(ls) > 1 else (ts[0] / ls[0], 0.0)
+        print("#measured shards: " + ", ".join(
+            f"{l} rows = {meas[l]*1e6:.1f} us/step" for l in sorted(meas)))
+        print(f"#fit t(L) = {a*1e6:.1f} us + {b*1e9:.2f} ns/row")
+        print("#Chips\tt_shard(us/step)\tt_comm(us/step)\tRuntime (s) "
+              "overlap\tSpeedup\tMLUPS\tefficiency\tsource")
+        base = None
+        for d in (1, 2, 4, 8):
+            L = nx // d
+            src = "measured" if L in meas else "fit"
+            t_shard = meas.get(L, a + b * L)
+            t_comm = (t_comm_pass / T) if d > 1 else 0.0
+            br = fk.pick_block_config(L, nyp, 4, T, walls_dma=False)[0] or 8
+            nb = max(1, L // br)
+            t_edges = 2.0 / max(nb, 2) * t_shard
+            t_pred = max(t_shard, t_comm + t_edges) if d > 1 else t_shard
+            runtime = t_pred * args.steps
+            mlups = nx * ny * args.steps / runtime / 1e6
+            if base is None:
+                base = runtime
+            eff = base / runtime / d
+            print(f"{d}\t{t_shard*1e6:.1f}\t{t_comm*1e6:.2f}\t"
+                  f"{runtime:.2f}\t{base/runtime:.2f}\t{mlups:.0f}\t"
+                  f"{eff:.2f}\t{src}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["cpu", "tpu"], required=True)
+    ap.add_argument("--mode", choices=["cpu", "tpu", "predict"], required=True)
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--trace-dir", default="/tmp/lbm_trace")
     ap.add_argument("--_reexeced", action="store_true")
@@ -247,6 +350,11 @@ def main():
         ))
     if args.mode == "cpu":
         mode_cpu(args)
+    elif args.mode == "predict":
+        from latticeboltzmann_tpu.utils.tpulock import tpu_lock
+
+        with tpu_lock():
+            mode_predict(args)
     else:
         from latticeboltzmann_tpu.utils.tpulock import tpu_lock
 

@@ -164,6 +164,110 @@ def test_ds_engine_forcing_guard_matches_golden():
     np.testing.assert_array_equal(changed_g, changed_w)
 
 
+# --- fused Pallas ds kernel (interpret mode; compiled semantics are
+# --- tpu-marked in tests/test_tpu_smoke.py) ---------------------------------
+
+
+def test_fused_ds_kernel_exact_bitwise_vs_xla_ds():
+    """exact=True runs ds_engine.collide_planes on VMEM windows — the
+    SAME arithmetic DAG per site as xla-ds64, so the result must be
+    bitwise identical (pad-mirror lanes are exact copies, halo rows are
+    recomputed with identical ops)."""
+    from latticeboltzmann_tpu.ops import fused_ds_kernel
+
+    cfg, walls = _scene(nx=32, ny=96)
+    a = ds_engine.state_f64(
+        fused_ds_kernel.run_steps(
+            ds_engine.initial_state(cfg), np.asarray(walls), cfg, 20,
+            interpret=True, exact=True, temporal=2,
+        )
+    )
+    b = ds_engine.state_f64(
+        ds_engine.run_steps(ds_engine.initial_state(cfg), np.asarray(walls), cfg, 20)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_ds_kernel_temporal_bitwise_invariance():
+    """Results are bitwise independent of the temporal-blocking depth
+    (same per-site arithmetic, different fusion), including an odd step
+    count that exercises the shallower tail pass. Depths limited to 2 on
+    CPU: each sub-step unrolls the whole ds DAG into the interpret-mode
+    XLA program, and a T=3+ compile takes minutes on a 1-core host (the
+    tpu-marked smoke runs the compiled T=4 default on the real chip)."""
+    from latticeboltzmann_tpu.ops import fused_ds_kernel
+
+    cfg, walls = _scene(nx=32, ny=96)
+    outs = [
+        ds_engine.state_f64(
+            fused_ds_kernel.run_steps(
+                ds_engine.initial_state(cfg), np.asarray(walls), cfg, 21,
+                interpret=True, temporal=t,
+            )
+        )
+        for t in (1, 2)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_fused_ds_kernel_fast_tier_vs_golden():
+    """The fast-tier collision (collide_planes_fast: sloppy adds,
+    unnormalized muls, Newton reciprocal — ~2^-44/op) still tracks the
+    golden serial-double model to ~1e-12 relative over 200 steps."""
+    from latticeboltzmann_tpu.ops import fused_ds_kernel
+
+    cfg, walls = _scene(nx=32, ny=96)
+    n = 200
+    got = ds_engine.state_f64(
+        fused_ds_kernel.run_steps(
+            ds_engine.initial_state(cfg), np.asarray(walls), cfg, n,
+            interpret=True, temporal=2,
+        )
+    )
+    want = golden.run(golden.initial_state(cfg), walls, cfg, n)
+    err = np.abs(got - want) / np.maximum(np.abs(want), 1e-30)
+    assert err.max() < 1e-11, f"max rel {err.max():.3e}"
+
+
+def test_fused_ds_refresh_boundary():
+    """Step counts straddling the pad-refresh interval agree with the
+    XLA ds engine (the decayed-pad hazard is exactly at K*T steps)."""
+    from latticeboltzmann_tpu.ops import fused_ds_kernel
+    from latticeboltzmann_tpu.ops.fused_kernel import pick_layout, refresh_interval
+
+    cfg, walls = _scene(nx=16, ny=40)
+    T = 2
+    nyp, lpad = pick_layout(cfg.ny, T)
+    K = refresh_interval(lpad, nyp - lpad - cfg.ny, cfg.ny, T)
+    n = K * T + 3  # crosses one refresh, ends mid-chunk with a tail pass
+    a = ds_engine.state_f64(
+        fused_ds_kernel.run_steps(
+            ds_engine.initial_state(cfg), np.asarray(walls), cfg, n,
+            interpret=True, exact=True, temporal=T,
+        )
+    )
+    b = ds_engine.state_f64(
+        ds_engine.run_steps(ds_engine.initial_state(cfg), np.asarray(walls), cfg, n)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_ds_simulation_facade():
+    """The pallas-ds64-interpret backend through the Simulation facade:
+    f64 state, finite observables, fast-tier accuracy vs golden."""
+    from latticeboltzmann_tpu.models.engine import Simulation
+
+    cfg, walls = _scene()
+    sim = Simulation(cfg, walls, backend="pallas-ds64-interpret")
+    sim.run(60)
+    st = sim.state()
+    assert st.dtype == np.float64
+    ref = golden.run(golden.initial_state(cfg), walls, cfg, 60)
+    err = np.abs(st - ref) / np.maximum(np.abs(ref), 1e-30)
+    assert err.max() < 1e-12
+    assert np.isfinite(sim.reynolds())
+
+
 def test_ds_simulation_facade():
     """The Simulation facade runs the ds backend end-to-end: state() is
     float64, reynolds/macroscopic use the golden association order."""

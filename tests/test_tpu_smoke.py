@@ -191,6 +191,16 @@ for _ in range(200):
 err = np.abs(st - g).max()
 print("ds-vs-golden max|d|:", err)
 assert err < 1e-11, f"ds engine drifted from golden f64 on chip: {err}"
+
+# 3. the compiled fused ds kernel (Mosaic, fast tier, temporal blocking,
+#    odd step count for the tail pass): golden parity at the fast-tier
+#    bound, plus Mosaic literal-constant pair semantics implicitly.
+sim2 = Simulation(cfg, walls, backend="pallas-ds64")
+sim2.run(201)
+g = golden.step(g, walls, cfg)
+err2 = np.abs(sim2.state() - g).max()
+print("fused-ds-vs-golden max|d|:", err2)
+assert err2 < 1e-11, f"fused ds kernel drifted from golden f64 on chip: {err2}"
 print("DS_OK")
 """
 
