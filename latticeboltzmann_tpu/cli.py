@@ -39,6 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="auto",
                    help="auto|xla|pallas|pallas-interpret|sharded|sharded-sync"
                         "|sharded-pallas|sharded-pallas-interpret"
+                        "|sharded-pallas-fused|sharded-pallas-fused-interpret"
                         "|sharded-pallas-rdma (experimental; see "
                         "models/engine.py)"
                         "|xla-ds64|pallas-ds64|pallas-ds64-interpret "

@@ -67,6 +67,8 @@ _WALL_SPEC_BACKENDS = {
     "pallas-interpret",
     "sharded-pallas",
     "sharded-pallas-interpret",
+    "sharded-pallas-fused",
+    "sharded-pallas-fused-interpret",
     "sharded-pallas-rdma",
 }
 
@@ -77,6 +79,8 @@ _FASTMATH_BACKENDS = {
     "pallas-interpret",
     "sharded-pallas",
     "sharded-pallas-interpret",
+    "sharded-pallas-fused",
+    "sharded-pallas-fused-interpret",
     "sharded-pallas-rdma",
 }
 
@@ -89,6 +93,8 @@ _SLIP_BACKENDS = {
     "sharded-sync",
     "sharded-pallas",
     "sharded-pallas-interpret",
+    "sharded-pallas-fused",
+    "sharded-pallas-fused-interpret",
     "sharded-pallas-rdma",
 }
 
@@ -118,6 +124,15 @@ def _register_sharded():
     # ppermute halo exchange
     register_backend("sharded-pallas", sharded.make_pallas_backend())
     register_backend("sharded-pallas-interpret", sharded.make_pallas_backend(interpret=True))
+    # single-launch synchronous halo schedule: on ICI the exchange is
+    # ~5-7 us/pass, below the ~16 us/step per-launch-boundary tax the
+    # overlap schedule pays twice — the faster production choice on a
+    # single slice (docs/SCALING.md)
+    register_backend("sharded-pallas-fused", sharded.make_pallas_backend(overlap=False))
+    register_backend(
+        "sharded-pallas-fused-interpret",
+        sharded.make_pallas_backend(interpret=True, overlap=False),
+    )
     # in-kernel remote-DMA halo exchange (Isend/compute/Waitall overlap
     # as one Pallas kernel); TPU-only
     register_backend("sharded-pallas-rdma", sharded.make_pallas_backend(rdma=True))

@@ -2235,6 +2235,67 @@ def shard_partition_regions(
     return top_wm, tuple(out), bot_wm
 
 
+def shard_partition_regions_sync(
+    mask, n_dev: int, br: int, temporal: int, ny: int, nyp: int, lpad: int,
+    launch_cost: float | None = None,
+):
+    """Full-range union partition for the SYNCHRONOUS sharded schedule:
+    runs of (start, length, wall_mode, region) covering local blocks
+    [0, nb) — the edge blocks are merged into their adjacent runs
+    instead of living in dedicated one-block launches. The runs whose
+    span contains block 0 / nb-1 consume the f halos (make_step's
+    need_top/need_bot); every other launch still has no data dependency
+    on the ppermute, so partial overlap survives for free. vs
+    shard_partition_regions this trades the guaranteed-overlap edge
+    launches (2 extra launch boundaries, ~16 us/step each measured) for
+    the local path's launch-count economy — the right trade wherever
+    halo comm (ICI: ~5-7 us/pass) is cheaper than a launch boundary."""
+    if launch_cost is None:
+        launch_cost = LAUNCH_COST_PASS_UNITS / temporal
+    m = np.asarray(mask, np.float64) > 0
+    nx = m.shape[0]
+    T = temporal
+    L = nx // n_dev
+    nb = L // br
+    m_p = m[:, (np.arange(nyp) - lpad) % ny]
+
+    def window_union(b):
+        rows = (
+            np.arange(b * br - T, b * br + br + T)[None, :]
+            + np.arange(n_dev)[:, None] * L
+        ) % nx
+        return m_p[rows].any(axis=0)
+
+    sub_b = [None] * nb
+    for b in range(nb):
+        u = window_union(b)
+        sub_b[b] = u if u.any() else None
+    region_of, split_run = _region_partitioner(
+        sub_b, br, temporal, ny, nyp, lpad, launch_cost
+    )
+    runs: list[list[int]] = [[0]]
+    for b in range(1, nb):
+        if (sub_b[b] is not None) != (sub_b[runs[-1][-1]] is not None):
+            runs.append([b])
+        else:
+            runs[-1].append(b)
+    out = []
+    for run in runs:
+        if sub_b[run[0]] is not None:
+            for g in split_run(run):
+                out.append((g[0], len(g), True, region_of(g)))
+        else:
+            out.append((run[0], len(run), False, None))
+    # halo-consuming spans last (their launches stall on the ppermute;
+    # everything before them overlaps it), masked-first among the rest
+    # (measured faster on the local path). Correctness is
+    # order-independent: runs write disjoint row ranges of the donor.
+    out.sort(key=lambda t: (
+        t[0] == 0 or t[0] + t[1] == nb, not t[2], t[0]
+    ))
+    return tuple(out)
+
+
 def wall_partition_regions(
     mask, br: int, temporal: int, ny: int, nyp: int, lpad: int,
     launch_cost: float | None = None, rebase: int | None = None,

@@ -220,6 +220,7 @@ def make_pallas_run_steps(
     fast_math: bool = False,
     rdma: bool = False,
     mask=None,
+    overlap: bool = True,
 ):
     """Production multi-chip path: the fused Pallas kernel runs on each
     device's local row block, with the x halos (T rows of f + walls per
@@ -290,29 +291,49 @@ def make_pallas_run_steps(
     # masks ride the walls plane as class codes the partitioner does
     # not speak, so slip runs keep the unspecialized interior)
     edge_wm = (True, True)
-    int_runs_T = int_runs_1 = None
-    if mask is not None and not rdma and not has_slip and nb >= 3:
-        top_wm, int_runs_T, bot_wm = fk.shard_partition_regions(
-            np.asarray(mask), n_dev, br, T, cfg.ny, nyp, lpad
-        )
-        _, int_runs_1, _ = fk.shard_partition_regions(
-            np.asarray(mask), n_dev, br, 1, cfg.ny, nyp, lpad
-        )
-        edge_wm = (top_wm, bot_wm)
+    int_runs_T = int_runs_1 = sync_runs_T = sync_runs_1 = None
+    if mask is not None and not rdma and not has_slip:
+        if overlap and nb >= 3:
+            top_wm, int_runs_T, bot_wm = fk.shard_partition_regions(
+                np.asarray(mask), n_dev, br, T, cfg.ny, nyp, lpad
+            )
+            _, int_runs_1, _ = fk.shard_partition_regions(
+                np.asarray(mask), n_dev, br, 1, cfg.ny, nyp, lpad
+            )
+            edge_wm = (top_wm, bot_wm)
+        elif not overlap:
+            sync_runs_T = fk.shard_partition_regions_sync(
+                np.asarray(mask), n_dev, br, T, cfg.ny, nyp, lpad
+            )
+            sync_runs_1 = fk.shard_partition_regions_sync(
+                np.asarray(mask), n_dev, br, 1, cfg.ny, nyp, lpad
+            )
 
-    def _trio(tdepth: int, int_runs=None):
-        """The per-pass launch set at one temporal depth.
+    def _trio(tdepth: int, int_runs=None, sync_runs=None):
+        """The per-pass launch set at one temporal depth, as
+        (step_fn, takes_htop, takes_hbot, takes_wtop, takes_wbot)
+        metadata rows consumed generically by one_pass.
 
-        With >=3 blocks per shard, the pass is split into an interior
-        segment (blocks [1, nb-1), which takes NO halo inputs — its
-        launch has no data dependency on the ppermute, so XLA's
-        latency-hiding scheduler runs the collective underneath it) and
-        two one-block edge segments that alone consume the halos — the
+        overlap=True with >=3 blocks per shard: the pass is split into
+        an interior segment (takes NO halo inputs — its launch has no
+        data dependency on the ppermute, so XLA's latency-hiding
+        scheduler runs the collective underneath it) and two one-block
+        edge segments that alone consume the halos — the
         compile-anywhere form of the reference's MPI_Isend /
         compute-interior / MPI_Waitall / compute-boundary overlap
-        (README.md:45-51, img/comms-overlap.png). The rdma variant
-        instead overlaps inside one kernel; tiny shards (nb < 3) have
-        no interior and keep the single launch."""
+        (README.md:45-51, img/comms-overlap.png).
+
+        overlap=False: the LOCAL path's launch economy — the union-mask
+        partition over ALL blocks (shard_partition_regions_sync), with
+        the halo operands attached to the runs that contain the edge
+        blocks (ordered last, so the other launches still overlap the
+        ppermute). On ICI the exchange is ~5-7 us/pass, far below the
+        ~16 us/step each extra launch boundary costs, so this schedule
+        beats the guaranteed-overlap one wherever links are ICI-class;
+        overlap=True remains for comm-dominated fabrics (DCN).
+
+        The rdma variant overlaps inside one kernel; tiny shards
+        (nb < 3) have no interior and keep the single launch."""
 
         def mk(**kw):
             return fk.make_step(
@@ -321,25 +342,43 @@ def make_pallas_run_steps(
                 fast_math=fast_math, axis=AXIS, **kw,
             )
 
-        if rdma or nb < 3:
-            return (mk(rdma=rdma),)
+        def meta(fn, start, length, wall_mode):
+            nt = start == 0
+            nbt = start + length == nb
+            sw = wall_spec is None and wall_mode
+            return (fn, nt, nbt, sw and nt, sw and nbt)
+
+        if rdma:
+            return (meta(mk(rdma=True), 0, nb, True),)
+        if sync_runs is not None:
+            return tuple(
+                meta(mk(start=s, length=ln, wall_mode=wm, region=reg),
+                     s, ln, wm)
+                for (s, ln, wm, reg) in sync_runs
+            )
+        if nb < 3 or not overlap:
+            return (meta(mk(), 0, nb, True),)
         if int_runs is None:
-            interior = (mk(start=1, length=nb - 2),)  # no halo inputs
+            interior = ((mk(start=1, length=nb - 2), False, False, False, False),)
         else:
             # union-partitioned interior: masked runs (with recompute
             # regions where the DP says they pay) first, select-free
             # runs after — still zero halo inputs per launch
             interior = tuple(
-                mk(start=s, length=ln, wall_mode=wm, region=reg)
+                (mk(start=s, length=ln, wall_mode=wm, region=reg),
+                 False, False, False, False)
                 for (s, ln, wm, reg) in int_runs
             )
         return interior + (
-            mk(start=0, length=1, wall_mode=edge_wm[0]),      # consumes htop
-            mk(start=nb - 1, length=1, wall_mode=edge_wm[1]),  # consumes hbot
+            meta(mk(start=0, length=1, wall_mode=edge_wm[0]), 0, 1, edge_wm[0]),
+            meta(mk(start=nb - 1, length=1, wall_mode=edge_wm[1]),
+                 nb - 1, 1, edge_wm[1]),
         )
 
-    steps_T = _trio(T, int_runs_T)
-    steps_1 = _trio(1, int_runs_1)
+    steps_T = _trio(T, int_runs_T, sync_runs_T)
+    steps_1 = _trio(1, int_runs_1, sync_runs_1)
+    need_wt = any(m[3] for m in steps_T + steps_1)
+    need_wb = any(m[4] for m in steps_T + steps_1)
 
     fspec = P(None, AXIS, None)
     wspec = P(AXIS, None)
@@ -349,8 +388,21 @@ def make_pallas_run_steps(
     def _remirror(x):
         """Rebuild the mirror pad lanes of a (..., nyp) slab from its
         real columns — applied to the halo rows each pass (they come
-        from the neighbor's stored state, whose pads decay like ours)."""
-        return x[..., lpad : lpad + cfg.ny][..., lane_to_col]
+        from the neighbor's stored state, whose pads decay like ours).
+        Expressed as slice+concat (three contiguous vector copies), NOT
+        a lane gather — the gather form sat on the critical path of
+        every halo-consuming launch and lowered to ~tens of us/step; the
+        multi-wrap gather remains only for lattices narrower than their
+        own padding (lpad > ny), where a single wrap can't fill the pad."""
+        ny, rpad = cfg.ny, nyp - lpad - cfg.ny
+        if lpad > ny or rpad > ny:
+            return x[..., lpad : lpad + ny][..., lane_to_col]
+        return jnp.concatenate(
+            [x[..., ny : ny + lpad],
+             x[..., lpad : lpad + ny],
+             x[..., lpad : lpad + rpad]],
+            axis=-1,
+        )
 
     def _prelude(walls_l):
         """Per-shard-map-region setup shared by the plain and probed
@@ -362,10 +414,10 @@ def make_pallas_run_steps(
         whtop = whbot = offset = None
         if wall_spec is None:
             # static wall halos: one exchange per run (only the masked
-            # edge launches read them — a union-free edge takes none)
-            if rdma or edge_wm[0]:
+            # halo-consuming launches read them)
+            if rdma or need_wt:
                 whtop = jax.lax.ppermute(walls_l[L - T :], AXIS, down)
-            if rdma or edge_wm[1]:
+            if rdma or need_wb:
                 whbot = jax.lax.ppermute(walls_l[:T], AXIS, up)
         else:
             # shard's global row offset for the in-kernel iota mask
@@ -374,41 +426,41 @@ def make_pallas_run_steps(
         def one_pass(src, donor, steps, t, rfl):
             if rdma:
                 # the kernel exchanges its own halos over ICI
-                stepfn = steps[0]
+                stepfn = steps[0][0]
                 if wall_spec is not None:
                     return stepfn(src, donor, walls_l, offset, rfl)[0]
                 wt = whtop[T - t :] if t < T else whtop
                 return stepfn(src, donor, walls_l, wt, whbot[:t], rfl)[0]
-            # the ppermutes are issued first; the interior launch
-            # below has no data dependency on them, so the ICI
-            # transfer rides underneath the interior compute
-            htop = _remirror(jax.lax.ppermute(src[:, L - t :, :], AXIS, down))
-            hbot = _remirror(jax.lax.ppermute(src[:, :t, :], AXIS, up))
+            # the ppermutes are issued first; launches without halo
+            # operands (every interior run; all but the last runs of the
+            # sync schedule) have no data dependency on them, so the ICI
+            # transfer rides underneath their compute
+            htop = jax.lax.ppermute(src[:, L - t :, :], AXIS, down)
+            hbot = jax.lax.ppermute(src[:, :t, :], AXIS, up)
             wt = wb = None
             if wall_spec is None:
                 if whtop is not None:
                     wt = whtop[T - t :] if t < T else whtop
                 if whbot is not None:
                     wb = whbot[:t]
-            if len(steps) == 1:
-                if wall_spec is not None:
-                    return steps[0](src, donor, walls_l, htop, hbot, offset, rfl)
-                return steps[0](src, donor, walls_l, htop, hbot, wt, wb, rfl)
-            *s_int, s_top, s_bot = steps
-            for st in s_int:
-                if wall_spec is not None:
-                    donor = st(src, donor, walls_l, offset, rfl)
+            for fn, takes_ht, takes_hb, takes_wt, takes_wb in steps:
+                # operand order mirrors make_step's in_specs: f halos
+                # (top then bot), wall halos (top then bot) where the
+                # launch stages walls, then offset (wall_spec) + refresh
+                args = [src, donor, walls_l]
+                if takes_ht:
+                    args.append(htop)
+                if takes_hb:
+                    args.append(hbot)
+                if wall_spec is None:
+                    if takes_wt:
+                        args.append(wt)
+                    if takes_wb:
+                        args.append(wb)
                 else:
-                    donor = st(src, donor, walls_l, rfl)
-            if wall_spec is not None:
-                donor = s_top(src, donor, walls_l, htop, offset, rfl)
-                return s_bot(src, donor, walls_l, hbot, offset, rfl)
-            # a union-free edge stages no walls: its launch takes only
-            # the f halo (make_step omits the wall-halo input there)
-            targs = (htop, wt) if edge_wm[0] else (htop,)
-            bargs = (hbot, wb) if edge_wm[1] else (hbot,)
-            donor = s_top(src, donor, walls_l, *targs, rfl)
-            return s_bot(src, donor, walls_l, *bargs, rfl)
+                    args.append(offset)
+                donor = fn(*args, rfl)
+            return donor
 
         return one_pass
 
@@ -564,10 +616,11 @@ def make_pallas_run_steps(
 
 
 def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False,
-                        rdma: bool = False):
+                        rdma: bool = False, overlap: bool = True):
     """Simulation-backend adapter for the sharded Pallas path. Free-slip
     masks ride the walls DMA as a class-code plane (see
-    fused_kernel.class_plane)."""
+    fused_kernel.class_plane). overlap=False selects the single-launch
+    synchronous halo schedule (see make_pallas_run_steps)."""
     cache: dict = {}
 
     def _cached(f, walls, cfg, wall_spec, slip_x, slip_y, fast_math, mask):
@@ -593,7 +646,7 @@ def make_pallas_backend(mesh: Mesh | None = None, *, interpret: bool = False,
             cache[key] = make_pallas_run_steps(
                 m, cfg, interpret=interpret, wall_spec=wall_spec,
                 has_slip=has_slip, fast_math=fast_math, rdma=rdma,
-                mask=mask,
+                mask=mask, overlap=overlap,
             )
         f, walls = shard_state(m, f, walls)
         return cache[key], f, walls

@@ -103,6 +103,30 @@ def test_sharded_pallas_matches_xla_sharded():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-7)
 
 
+def test_sharded_pallas_sync_schedule():
+    """The few-launch synchronous halo schedule (overlap=False:
+    full-range union partition, halos attached to the edge-containing
+    runs) matches the overlap schedule across device counts and refresh
+    boundaries (61 steps crosses the ny=200 pad refresh twice and
+    exercises the T=1 remainder path). Tolerance is the program-shape
+    FMA-contraction noise (docs/NUMERICS.md "Why jit is not bitwise"):
+    the two schedules partition the same math into differently-shaped
+    launches."""
+    from latticeboltzmann_tpu.models import engine
+    from latticeboltzmann_tpu.parallel import sharded
+
+    cfg = LatticeConfig(nx=64, ny=200, dtype=np.float32)
+    w = geometry.channel_with_barrier(cfg.nx, cfg.ny)
+    ref = Simulation(cfg, w, backend="sharded-pallas-interpret").run(61).state()
+    for ndev in (2, 4):
+        mesh = sharded.make_mesh(ndev)
+        engine.register_backend(
+            "_sync", sharded.make_pallas_backend(mesh, interpret=True, overlap=False)
+        )
+        got = Simulation(cfg, w, backend="_sync").run(61).state()
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+
 def test_sharded_pallas_odd_steps():
     cfg = LatticeConfig(nx=8 * 16, ny=40, dtype=np.float32)
     w = geometry.channel(cfg.nx, cfg.ny)
