@@ -405,8 +405,11 @@ def _make_kernel(
     if panels > 1:
         if external_halo or rdma or region is not None or has_slip:
             raise ValueError("panels: local path only")
-        if (start, length) != (0, n_blocks):
-            raise ValueError("panels: full block grid only")
+        if length is not None and start + length > n_blocks:
+            # the 2-D grid's out index map is affine in the block dim;
+            # wall_partition's row rotation makes every run affine, so
+            # the wrapping case never arises from the planner
+            raise ValueError("panels: block runs must be affine (no wrap)")
         if nyp % panels or (nyp // panels) % LANE:
             raise ValueError(f"panels={panels} must cut nyp={nyp} at 128-lane bounds")
         if nyp // panels + 2 * LANE > nyp:
@@ -1615,7 +1618,7 @@ def make_step(
             0,
         )
     elif panels > 1:
-        out_index = lambda p, i: (0, i, p)
+        out_index = lambda p, i: (0, i + start, p)  # affine runs only
     elif start == 0 and length == n_blocks:
         out_index = lambda i: (0, i, 0)
     elif start + length <= n_blocks:
