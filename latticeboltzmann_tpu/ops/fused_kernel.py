@@ -1940,11 +1940,21 @@ def _plan(cfg: LatticeConfig, nx: int, mask, temporal, interpret, walls_dma,
     if mask is None:  # plan-only probe (no geometry): one masked launch
         row_shift, segs = 0, ((0, None, True, None),)
     elif panels > 1:
-        # the panel kernel supports neither partial block runs nor
-        # recompute regions (make_step rejects both): one full-grid
-        # launch, masked only when the lattice actually has walls
-        wm = bool((np.asarray(mask, np.float64) > 0).any())
-        row_shift, segs = 0, ((0, None, wm, None),)
+        # panels x segmentation (round 4): the panel kernel accepts
+        # affine partial block runs, so wide lattices get the same
+        # launch partition as the headline path. Recompute regions are
+        # the one thing the panel kernel still rejects — degrade region
+        # runs to full-window selects (still launch-partitioned).
+        row_shift, segs = wall_partition_regions(
+            np.asarray(mask), br, temporal, cfg.ny, nyp, lpad
+        )
+        segs = tuple((s, ln, wm, None) for (s, ln, wm, _r) in segs)
+        nb_ = nx // br
+        if any(s + (ln or nb_) > nb_ for (s, ln, _w, _r) in segs):
+            # a wrapping run (shouldn't arise post-rotation): fall back
+            # to the round-3 single masked launch
+            wm = bool((np.asarray(mask, np.float64) > 0).any())
+            row_shift, segs = 0, ((0, None, wm, None),)
     else:
         row_shift, segs = wall_partition_regions(
             np.asarray(mask), br, temporal, cfg.ny, nyp, lpad

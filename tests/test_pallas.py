@@ -603,26 +603,59 @@ def test_panel_tight_pads_match_xla(n_steps):
     np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
 
 
-def test_auto_panel_plan_collapses_to_single_launch():
-    """Regression: when the auto-panel fallback engages (no full-width
-    row block fits VMEM), _plan must collapse the wall partition to one
-    full-grid launch — the panel kernel rejects partial block runs and
-    recompute regions, so leaving them in segs made every walled
-    ultra-wide lattice raise ValueError instead of running."""
-    cfg = LatticeConfig(nx=96, ny=40960, dtype=np.float32)
+def test_auto_panel_plan_partitions_with_segments():
+    """Round 4: the auto-panel fallback composes with the launch
+    partition — panel plans carry affine wall-partitioned runs (masked
+    AND select-free) with recompute regions stripped (the one thing the
+    panel kernel still rejects)."""
+    cfg = LatticeConfig(nx=256, ny=40960, dtype=np.float32)
     walls = np.zeros((cfg.nx, cfg.ny), bool)
     walls[0, :] = walls[-1, :] = True
     walls[40:48, 20000:20004] = True
     plan = fk._plan(cfg, cfg.nx, walls, None, False, True)
     assert plan is not None and plan[6] > 1            # panels engaged
-    assert plan[5] == ((0, None, True, None),)         # one full launch
+    segs, br = plan[5], plan[2]
+    nb = cfg.nx // br
+    assert len(segs) >= 2                              # partitioned
+    assert all(r is None for (_s, _l, _w, r) in segs)  # regions stripped
+    assert all(s + (ln or nb) <= nb for (s, ln, _w, _r) in segs)  # affine
+    assert any(w for (_s, _l, w, _r) in segs)
+    assert any(not w for (_s, _l, w, _r) in segs)
     sess = fk.Session(cfg, jnp.asarray(walls))         # must not raise
     assert sess.plan is not None and sess.panels > 1
 
-    # walls-free ultra-wide lattices take the free-kernel launch
+    # walls-free ultra-wide lattices take one select-free launch
     nowalls = np.zeros((cfg.nx, cfg.ny), bool)
     plan2 = fk._plan(cfg, cfg.nx, nowalls, None, False, True)
-    assert plan2 is not None and plan2[5] == ((0, None, False, None),)
+    assert plan2 is not None and len(plan2[5]) == 1
+    assert not plan2[5][0][2]  # wall_mode False
+
+
+@pytest.mark.parametrize("n_steps", [6, 7])
+def test_panels_with_segments_match_xla(n_steps):
+    """Panels x launch partition (round 4): a walled scene whose
+    partition splits into masked + select-free runs, forced onto a
+    2-panel grid — both panel variants of both run kinds execute, plus
+    the remainder pass at n_steps=7. Must match the XLA engine."""
+    from latticeboltzmann_tpu.ops import stream_collide
+
+    cfg = LatticeConfig(nx=64, ny=640, dtype=np.float32)
+    walls = geometry.channel(cfg.nx, cfg.ny)
+    walls[24:30, 180:260] = True  # mid-lattice barrier, crosses lane 256
+    f0 = initial_state(cfg)
+    nyp, lpad = fk.pick_layout(cfg.ny, 3)
+    _shift, segs = fk.wall_partition_regions(walls, 8, 3, cfg.ny, nyp, lpad)
+    assert len(segs) >= 2  # the scene genuinely partitions at br=8
+    out = np.asarray(
+        fk.run_steps(
+            jnp.asarray(f0), jnp.asarray(walls), cfg, n_steps,
+            interpret=True, panels=2, temporal=3,
+        )
+    )
+    ref = np.asarray(
+        stream_collide.run_steps(jnp.asarray(f0), jnp.asarray(walls), cfg, n_steps)
+    )
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-6)
 
 
 def test_panels_reject_slip_and_slip_avoids_auto_panels():
