@@ -51,13 +51,32 @@ def _register_ds():
             f, w, cfg, n, interpret=True, temporal=2
         ),
     )
+    # multi-chip pair-DP: row decomposition + ppermute pair-halo
+    # exchange around the ext-halo ds kernel — the DP twin of
+    # 'sharded-pallas' (the reference's DP MPI column)
+    register_backend(
+        "sharded-pallas-ds64",
+        lambda f, w, cfg, n, **kw: fused_ds_kernel.sharded_run_steps(f, w, cfg, n),
+    )
+    register_backend(
+        "sharded-pallas-ds64-interpret",
+        lambda f, w, cfg, n, **kw: fused_ds_kernel.sharded_run_steps(
+            f, w, cfg, n, interpret=True, temporal=2
+        ),
+    )
 
 
 _register_ds()
 
 # backends whose state is a df64.DS pair (logical precision ~2^-48;
 # cfg.dtype is float64 — the *host-side* precision of state()/f0)
-_DS_BACKENDS = {"xla-ds64", "pallas-ds64", "pallas-ds64-interpret"}
+_DS_BACKENDS = {
+    "xla-ds64",
+    "pallas-ds64",
+    "pallas-ds64-interpret",
+    "sharded-pallas-ds64",
+    "sharded-pallas-ds64-interpret",
+}
 
 
 # backends that accept a wall_spec kwarg (parametric in-kernel geometry,

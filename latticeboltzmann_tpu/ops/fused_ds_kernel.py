@@ -112,7 +112,8 @@ def _force_blocks(nyp: int, lpad: int, ny: int) -> tuple[list[int], list[int]]:
 
 
 def _make_ds_pass(cfg: LatticeConfig, nx: int, nyp: int, lpad: int,
-                  br: int, temporal: int, interpret: bool, exact: bool):
+                  br: int, temporal: int, interpret: bool, exact: bool,
+                  ext_halo: bool = False):
     """One kernel pass = `temporal` fused timesteps over the padded pair
     state: (hi, lo, walls_p) -> (hi', lo'), grid over NX/br row blocks.
     Each grid step assembles a (br + 2T)-row window and advances it T
@@ -232,25 +233,41 @@ def _make_ds_pass(cfg: LatticeConfig, nx: int, nyp: int, lpad: int,
             oh[s] = planes[s].hi
             ol[s] = planes[s].lo
 
-    cur = pl.BlockSpec((NSPEEDS, br, nyp), lambda i: (0, i, 0))
-    prev = pl.BlockSpec(
-        (NSPEEDS, HALO_ROWS, nyp),
-        lambda i: (0, ((i - 1) % n_blocks) * hb + hb - 1, 0),
-    )
-    nxt = pl.BlockSpec(
-        (NSPEEDS, HALO_ROWS, nyp), lambda i: (0, ((i + 1) % n_blocks) * hb, 0)
-    )
-    wcur = pl.BlockSpec((br, nyp), lambda i: (i, 0))
-    wprev = pl.BlockSpec(
-        (HALO_ROWS, nyp), lambda i: (((i - 1) % n_blocks) * hb + hb - 1, 0)
-    )
-    wnxt = pl.BlockSpec((HALO_ROWS, nyp), lambda i: (((i + 1) % n_blocks) * hb, 0))
+    if ext_halo:
+        # sharded form: inputs are (9, nx + 2*br, nyp) extended arrays
+        # (local rows at row-offset br; the T neighbor halo rows sit at
+        # [br-T, br) and [br+nx, br+nx+T), the rest of the end blocks is
+        # padding) — NO index wrap; the x periodicity lives in the
+        # device ring outside
+        cur = pl.BlockSpec((NSPEEDS, br, nyp), lambda i: (0, i + 1, 0))
+        prev = pl.BlockSpec((NSPEEDS, br, nyp), lambda i: (0, i, 0))
+        nxt = pl.BlockSpec((NSPEEDS, br, nyp), lambda i: (0, i + 2, 0))
+        wcur = pl.BlockSpec((br, nyp), lambda i: (i + 1, 0))
+        wprev = pl.BlockSpec((br, nyp), lambda i: (i, 0))
+        wnxt = pl.BlockSpec((br, nyp), lambda i: (i + 2, 0))
+        in_rows = nx + 2 * br
+    else:
+        cur = pl.BlockSpec((NSPEEDS, br, nyp), lambda i: (0, i, 0))
+        prev = pl.BlockSpec(
+            (NSPEEDS, HALO_ROWS, nyp),
+            lambda i: (0, ((i - 1) % n_blocks) * hb + hb - 1, 0),
+        )
+        nxt = pl.BlockSpec(
+            (NSPEEDS, HALO_ROWS, nyp), lambda i: (0, ((i + 1) % n_blocks) * hb, 0)
+        )
+        wcur = pl.BlockSpec((br, nyp), lambda i: (i, 0))
+        wprev = pl.BlockSpec(
+            (HALO_ROWS, nyp), lambda i: (((i - 1) % n_blocks) * hb + hb - 1, 0)
+        )
+        wnxt = pl.BlockSpec((HALO_ROWS, nyp), lambda i: (((i + 1) % n_blocks) * hb, 0))
+        in_rows = nx
+    out = pl.BlockSpec((NSPEEDS, br, nyp), lambda i: (0, i, 0))
 
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[cur, prev, nxt, cur, prev, nxt, wcur, wprev, wnxt],
-        out_specs=[cur, cur],
+        out_specs=[out, out],
         out_shape=[jax.ShapeDtypeStruct((NSPEEDS, nx, nyp), jnp.float32)] * 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -258,6 +275,7 @@ def _make_ds_pass(cfg: LatticeConfig, nx: int, nyp: int, lpad: int,
         ),
         interpret=interpret,
     )
+    del in_rows  # shape is implied by the operands
 
     def one_pass(hi, lo, walls_p):
         oh, ol = call(hi, hi, hi, lo, lo, lo, walls_p, walls_p, walls_p)
@@ -347,6 +365,132 @@ def run_steps(f: DS, walls, cfg: LatticeConfig, n_steps: int,
     lo_p, _ = pad_state(f.lo, walls, cfg, nyp, lpad)
     n_passes, tail = divmod(n_steps, T)
     runner, K = _get_runner(cfg, f.hi.shape[1], nyp, interpret, exact, T, tail)
+    n_chunks, rem = divmod(n_passes, K)
+    hi, lo = runner(hi_p, lo_p, walls_p, jnp.int32(n_chunks), jnp.int32(rem))
+    return DS(unpad_state(hi, cfg, lpad), unpad_state(lo, cfg, lpad))
+
+
+# --- sharded (multi-chip) form ------------------------------------------------
+
+
+_SHARDED_RUNNERS: dict = {}
+
+
+def _get_sharded_runner(mesh, cfg: LatticeConfig, interpret: bool,
+                        exact: bool, T: int, tail: int):
+    """Row-decomposed multi-chip ds runner: shard_map over a 1-D mesh,
+    ppermute halo exchange of T pair-rows per pass, the ext_halo form
+    of the ds kernel per device. The pair-DP answer to the reference's
+    DP MPI column (mpi-runtimes.dat DP rows; README.md:88).
+
+    Per pass each device sends its first/last T rows of BOTH pair
+    components to its ring neighbors (4 ppermutes of (9, T, nyp) f32 =
+    ~0.5-1 MB/direction at reference widths — trivial on ICI against a
+    ~ms compute pass) and embeds them in a zero-padded (9, L+2br, nyp)
+    extended array consumed by the kernel's affine prev/cur/next block
+    specs. Halo rows arrive with the sender's pad-decay state, which
+    equals the receiver's (same program, same refresh cadence) — the
+    same invariant the f32 sharded path relies on (docs/SCALING.md)."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    key = (mesh, cfg, interpret, exact, T, tail)
+    if key in _SHARDED_RUNNERS:
+        return _SHARDED_RUNNERS[key]
+    AXIS = "x"
+    n_dev = mesh.devices.size
+    if cfg.nx % n_dev:
+        raise ValueError(f"NX={cfg.nx} not divisible by {n_dev} devices")
+    L = cfg.nx // n_dev
+    ny = cfg.ny
+    nyp, lpad = pick_layout(ny, T)
+    br = pick_ds_block_rows(L, nyp, T)
+    if br == 0:
+        raise ValueError(f"no 8-aligned row block divides local rows {L}")
+    one_pass = _make_ds_pass(cfg, L, nyp, lpad, br, T, interpret, exact,
+                             ext_halo=True)
+    tail_pass = (
+        _make_ds_pass(cfg, L, nyp, lpad, br, tail, interpret, exact,
+                      ext_halo=True)
+        if tail else None
+    )
+    K = refresh_interval(lpad, nyp - lpad - ny, ny, T)
+
+    def loop(hi_l, lo_l, walls_l, n_chunks, rem_passes):
+        n = jax.lax.axis_size(AXIS)
+        down = [(i, (i + 1) % n) for i in range(n)]
+        up = [(i, (i - 1) % n) for i in range(n)]
+        # static walls: extend once per run (full br halo blocks so the
+        # kernel's affine specs see real wall values on the halo rows)
+        wtop = jax.lax.ppermute(walls_l[L - br :], AXIS, down)
+        wbot = jax.lax.ppermute(walls_l[:br], AXIS, up)
+        walls_ext = jnp.concatenate([wtop, walls_l, wbot], axis=0)
+        zpad = jnp.zeros((NSPEEDS, br - T, nyp), jnp.float32)
+
+        def extend(x):
+            htop = jax.lax.ppermute(x[:, L - T :, :], AXIS, down)
+            hbot = jax.lax.ppermute(x[:, :T, :], AXIS, up)
+            return jnp.concatenate([zpad, htop, x, hbot, zpad], axis=1)
+
+        def pass_fn(fn):
+            def run(_, c):
+                return fn(extend(c[0]), extend(c[1]), walls_ext)
+            return run
+
+        def remirror2(c):
+            return (_remirror(c[0], ny, lpad, nyp),
+                    _remirror(c[1], ny, lpad, nyp))
+
+        def chunk_body(_, c):
+            return jax.lax.fori_loop(0, K, pass_fn(one_pass), remirror2(c))
+
+        c = jax.lax.fori_loop(0, n_chunks, chunk_body, (hi_l, lo_l))
+        c = jax.lax.fori_loop(0, rem_passes, pass_fn(one_pass), remirror2(c))
+        if tail_pass is not None:
+            c = remirror2(c)
+            c = pass_fn(tail_pass)(0, c)
+        return c
+
+    fspec = P(None, AXIS, None)
+    sharded_loop = shard_map(
+        loop, mesh=mesh,
+        in_specs=(fspec, fspec, P(AXIS, None), P(), P()),
+        out_specs=(fspec, fspec),
+        check_rep=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def runner(hi, lo, walls_p, n_chunks, rem_passes):
+        return sharded_loop(hi, lo, walls_p, n_chunks, rem_passes)
+
+    _SHARDED_RUNNERS[key] = (runner, K, mesh)
+    return _SHARDED_RUNNERS[key]
+
+
+def sharded_run_steps(f: DS, walls, cfg: LatticeConfig, n_steps: int,
+                      mesh=None, interpret: bool = False,
+                      exact: bool = False,
+                      temporal: int = DS_TEMPORAL) -> DS:
+    """Multi-chip n_steps: pad into the mirror lane layout, shard rows
+    over the mesh, run the ppermute/ext-halo pass schedule, unpad."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.sharded import make_mesh
+
+    if interpret:
+        df64.check_backend(raise_on_fail=True)
+    if mesh is None:
+        mesh = make_mesh()
+    T = max(1, min(temporal, n_steps))
+    nyp, lpad = pick_layout(cfg.ny, T)
+    hi_p, walls_p = pad_state(f.hi, walls, cfg, nyp, lpad)
+    lo_p, _ = pad_state(f.lo, walls, cfg, nyp, lpad)
+    hi_p = jax.device_put(hi_p, NamedSharding(mesh, P(None, "x", None)))
+    lo_p = jax.device_put(lo_p, NamedSharding(mesh, P(None, "x", None)))
+    walls_p = jax.device_put(walls_p, NamedSharding(mesh, P("x", None)))
+    n_passes, tail = divmod(n_steps, T)
+    runner, K, _ = _get_sharded_runner(mesh, cfg, interpret, exact, T, tail)
     n_chunks, rem = divmod(n_passes, K)
     hi, lo = runner(hi_p, lo_p, walls_p, jnp.int32(n_chunks), jnp.int32(rem))
     return DS(unpad_state(hi, cfg, lpad), unpad_state(lo, cfg, lpad))

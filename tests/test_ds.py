@@ -252,6 +252,20 @@ def test_fused_ds_refresh_boundary():
     np.testing.assert_array_equal(a, b)
 
 
+def test_sharded_ds_kernel_bitwise_vs_local():
+    """The multi-chip ds path (row decomposition + ppermute pair-halo
+    exchange + ext-halo kernel form) is bitwise the local ds kernel on
+    the 8-device virtual mesh — same per-site arithmetic, the halos
+    merely replace the local kernel's wrapping block reads. 61 steps
+    crosses the pad refresh and exercises the tail pass."""
+    from latticeboltzmann_tpu.models.engine import Simulation
+
+    cfg, walls = _scene(nx=64, ny=96)
+    a = Simulation(cfg, walls, backend="sharded-pallas-ds64-interpret").run(61).state()
+    b = Simulation(cfg, walls, backend="pallas-ds64-interpret").run(61).state()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pallas_ds_simulation_facade():
     """The pallas-ds64-interpret backend through the Simulation facade:
     f64 state, finite observables, fast-tier accuracy vs golden."""
