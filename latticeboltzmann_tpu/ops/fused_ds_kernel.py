@@ -391,9 +391,7 @@ def _get_sharded_runner(mesh, cfg: LatticeConfig, interpret: bool,
     specs. Halo rows arrive with the sender's pad-decay state, which
     equals the receiver's (same program, same refresh cadence) — the
     same invariant the f32 sharded path relies on (docs/SCALING.md)."""
-    import numpy as np
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     key = (mesh, cfg, interpret, exact, T, tail)
     if key in _SHARDED_RUNNERS:
@@ -453,11 +451,11 @@ def _get_sharded_runner(mesh, cfg: LatticeConfig, interpret: bool,
         return c
 
     fspec = P(None, AXIS, None)
-    sharded_loop = shard_map(
+    sharded_loop = jax.shard_map(
         loop, mesh=mesh,
         in_specs=(fspec, fspec, P(AXIS, None), P(), P()),
         out_specs=(fspec, fspec),
-        check_rep=False,
+        check_vma=False,
     )
 
     @partial(jax.jit, donate_argnums=(0, 1))
