@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "|sharded-pallas-fused|sharded-pallas-fused-interpret"
                         "|sharded-pallas-rdma (experimental; see "
                         "models/engine.py)"
-                        "|xla-ds64|pallas-ds64|pallas-ds64-interpret "
+                        "|xla-ds64|pallas-ds64|pallas-ds64-interpret"
+                        "|sharded-pallas-ds64|sharded-pallas-ds64-interpret "
                         "(pair-DP; use with --precision f64)")
     p.add_argument("--geometry", default="barrier",
                    help="empty|channel|barrier|reference|cylinder")

@@ -92,6 +92,19 @@ def test_cli_parser_covers_reference_knobs():
     assert set(PRECISIONS) == {"f32", "f64", "bf16"}
 
 
+def test_cli_backend_help_covers_registry():
+    """The --backend help string must name every registered backend
+    (round-3 verdict polish item: the help once listed 5 of 9)."""
+    from latticeboltzmann_tpu import available_backends
+
+    p = build_parser()
+    helptext = next(
+        a.help for a in p._actions if "--backend" in getattr(a, "option_strings", ())
+    )
+    missing = [b for b in available_backends() if b not in helptext]
+    assert not missing, f"--backend help omits {missing}"
+
+
 def test_cli_parser_extras():
     p = build_parser()
     args = p.parse_args(
