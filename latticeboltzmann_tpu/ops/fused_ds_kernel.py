@@ -69,15 +69,20 @@ from .fused_kernel import (
 HALO_ROWS = 8  # x-halo fetch granularity (f32 sublane tile)
 
 
-def _vmem_need_ds(br: int, nyp: int, temporal: int = 1) -> int:
+def _vmem_need_ds(br: int, nyp: int, temporal: int = 1,
+                  ext_halo: bool = False) -> int:
     """Per-grid-step VMEM for the ds pass: hi+lo current blocks in and
-    out, two 8-row halo blocks per pair component, the walls block —
-    all double-buffered by the pipeline — plus a generous allowance for
-    the collision DAG's live (br+2T, nyp) f32 temporaries (~24 pairs
-    live at the widest point of collide_planes, by inspection)."""
+    out, the neighbor halo blocks per pair component (8-row sub-blocks
+    in the local wrap form; FULL br-row blocks in the sharded ext-halo
+    form, whose affine specs tile the extended array in whole blocks),
+    the walls blocks — all double-buffered by the pipeline — plus a
+    generous allowance for the collision DAG's live (br+2T, nyp) f32
+    temporaries (~24 pairs live at the widest point of collide_planes,
+    by inspection)."""
+    hrows = br if ext_halo else HALO_ROWS
     io = 2 * 9 * br * nyp * 4 * 2  # hi+lo, in+out
-    halo = 2 * 2 * 9 * HALO_ROWS * nyp * 4
-    walls = (br + 2 * HALO_ROWS) * nyp * 4
+    halo = 2 * 2 * 9 * hrows * nyp * 4
+    walls = (br + 2 * hrows) * nyp * 4
     temps = 48 * (br + 2 * temporal) * nyp * 4
     return 2 * (io + halo + walls) + temps
 
@@ -91,12 +96,13 @@ def _vmem_need_ds(br: int, nyp: int, temporal: int = 1) -> int:
 DS_TEMPORAL = 4
 
 
-def pick_ds_block_rows(nx: int, nyp: int, temporal: int = DS_TEMPORAL) -> int:
+def pick_ds_block_rows(nx: int, nyp: int, temporal: int = DS_TEMPORAL,
+                       ext_halo: bool = False) -> int:
     """Largest 8-aligned row block dividing NX that fits the budget.
     Blocks amortize per-block control and the T(T+1) recompute rows,
     so the first (largest) fit is taken."""
     for br in (64, 48, 40, 32, 24, 16, 8):
-        if nx % br == 0 and _vmem_need_ds(br, nyp, temporal) <= VMEM_BUDGET:
+        if nx % br == 0 and _vmem_need_ds(br, nyp, temporal, ext_halo) <= VMEM_BUDGET:
             return br
     return 0
 
@@ -403,7 +409,7 @@ def _get_sharded_runner(mesh, cfg: LatticeConfig, interpret: bool,
     L = cfg.nx // n_dev
     ny = cfg.ny
     nyp, lpad = pick_layout(ny, T)
-    br = pick_ds_block_rows(L, nyp, T)
+    br = pick_ds_block_rows(L, nyp, T, ext_halo=True)
     if br == 0:
         raise ValueError(f"no 8-aligned row block divides local rows {L}")
     one_pass = _make_ds_pass(cfg, L, nyp, lpad, br, T, interpret, exact,

@@ -201,6 +201,15 @@ g = golden.step(g, walls, cfg)
 err2 = np.abs(sim2.state() - g).max()
 print("fused-ds-vs-golden max|d|:", err2)
 assert err2 < 1e-11, f"fused ds kernel drifted from golden f64 on chip: {err2}"
+
+# 4. the multi-chip pair-DP path compiled on a 1-device ring: ext-halo
+#    kernel form + real ppermutes; must match the local ds kernel's
+#    golden parity.
+sim3 = Simulation(cfg, walls, backend="sharded-pallas-ds64")
+sim3.run(201)
+err3 = np.abs(sim3.state() - g).max()
+print("sharded-ds-vs-golden max|d|:", err3)
+assert err3 < 1e-11, f"sharded ds kernel drifted on chip: {err3}"
 print("DS_OK")
 """
 
