@@ -68,6 +68,12 @@ CONFIGS = [
 # regenerated into BENCH_RESULTS.md on every --out run so the
 # methodology and physics-validation context survive table refreshes
 METHODOLOGY_NOTE = """\
+The headline row — 800x4000 f32, the reference's exact scene
+(reference_barrier) on the local pallas backend — is owned by the
+repo-root `bench.py` gate and recorded in `BENCH_rNN.json`, not
+duplicated here; this table covers every OTHER published reference
+configuration plus the TPU-specific tiers.
+
 Timing method: every row carries the self-defending measurement
 originally built for the headline `bench.py` gate (round-2 postmortem):
 a slope-timed kernel rate from two step counts (cancels fixed per-call
