@@ -159,10 +159,12 @@ def main(argv=None) -> int:
         # the state (the reference has no compile phase to exclude).
         # copy first: some backends donate their input buffer. Go through
         # sim.run so the warmed kernel variant (wall_spec etc.) is the
-        # one the timed run uses.
+        # one the timed run uses. tree_map (not jnp.array) so the ds
+        # backends' DS pair state copies leaf-wise instead of silently
+        # stacking into one (2, 9, nx, ny) array.
         import jax.numpy as jnp
 
-        f_before = jnp.array(sim.f, copy=True)
+        f_before = jax.tree.map(lambda x: jnp.array(x, copy=True), sim.f)
         sim.run(args.warmup)
         sim.f = f_before
         sim.steps_done = 0
@@ -199,14 +201,14 @@ def main(argv=None) -> int:
         if args.print_stats_every and step % args.print_stats_every == 0:
             reporter.report(step - start_step)
         if args.save_lattice_every and step % args.save_lattice_every == 0:
-            viz.save_snapshot(args.snapshot_dir, step, sim.f)
+            # backend-aware extraction (ds backends carry a pair state
+            # that viz.speed_squared cannot index; round-4 verdict #3)
+            viz.save_snapshot_field(args.snapshot_dir, step, sim.speed_squared())
         if args.checkpoint_every and step % args.checkpoint_every == 0:
             checkpoint.save(args.checkpoint_dir, step, sim.state(), sim.walls_np, cfg,
                             format=args.checkpoint_format)
         if probes is not None and step % args.probe_every == 0:
-            from .ops import stream_collide as xla_ops
-
-            probe_rows.append((step, xla_ops.probe_values(sim.f, probes)))
+            probe_rows.append((step, sim.probe_values(probes)))
 
     runtime = time.perf_counter() - t0
     if profile_cm:

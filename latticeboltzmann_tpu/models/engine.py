@@ -451,13 +451,10 @@ class Simulation:
         elif self.backend in _DS_BACKENDS:
             # host-side f64 probe gather between chunks (diagnostic-rate
             # path; the ds state recombines on host at full precision)
-            probes_np = np.asarray(probes)
             chunks = []
             for _ in range(n_steps // every):
                 self.run(every, block=False)
-                st = self.state()
-                cols = st[:, probes_np[:, 0], probes_np[:, 1]]
-                chunks.append(np.asarray(xla_ops.probe_moments(jnp.asarray(cols))))
+                chunks.append(self.probe_values(probes))
             return np.stack(chunks)
         else:
             chunks = []
@@ -468,6 +465,22 @@ class Simulation:
             if block:
                 float(jnp.sum(series[-1]))
         return np.asarray(series)
+
+    def probe_values(self, probes) -> np.ndarray:
+        """(rho, u_x, u_y) at (P, 2) probe sites from the CURRENT state —
+        the one-shot sampler behind the CLI's --probe on every backend
+        (the reference's PrintLattice-style site diagnostics work in
+        every precision build, src/latticeboltzmann.c:610-639). ds
+        backends recombine the f32 pair to f64 on host first; the others
+        gather on device."""
+        probes_np = np.asarray(probes)
+        if probes_np.ndim != 2 or probes_np.shape[1] != 2:
+            raise ValueError(f"probes must be (P, 2) (i, j) sites, got {probes_np.shape}")
+        if self.backend in _DS_BACKENDS:
+            st = self.state()
+            cols = st[:, probes_np[:, 0], probes_np[:, 1]]
+            return np.asarray(xla_ops.probe_moments(jnp.asarray(cols)))
+        return np.asarray(xla_ops.probe_values(self.f, jnp.asarray(probes_np, jnp.int32)))
 
     def state(self) -> np.ndarray:
         """Current state as a host array — float64 for ds backends (the

@@ -49,15 +49,25 @@ def write_snapshot_csv(path: str | pathlib.Path, usq: np.ndarray) -> None:
                 fp.write("\n")
 
 
-def save_snapshot(directory: str | pathlib.Path, timestep: int, f: jax.Array) -> pathlib.Path:
-    """data/<timestep>.csv, the reference's naming
-    (src/latticeboltzmann.c:612-613)."""
+def save_snapshot_field(
+    directory: str | pathlib.Path, timestep: int, usq: np.ndarray
+) -> pathlib.Path:
+    """data/<timestep>.csv from an already-extracted |u|^2 field — the
+    entry point for backends whose state is not a plain (9, NX, NY)
+    array (the ds pair backends go Simulation.speed_squared() -> here),
+    so the snapshot/movie pipeline serves every precision config like
+    the reference's PrintLattice does (src/latticeboltzmann.c:610-639)."""
     directory = pathlib.Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     path = directory / f"{timestep}.csv"
-    usq = np.asarray(speed_squared(f))
-    write_snapshot_csv(path, usq)
+    write_snapshot_csv(path, np.asarray(usq))
     return path
+
+
+def save_snapshot(directory: str | pathlib.Path, timestep: int, f: jax.Array) -> pathlib.Path:
+    """data/<timestep>.csv, the reference's naming
+    (src/latticeboltzmann.c:612-613)."""
+    return save_snapshot_field(directory, timestep, np.asarray(speed_squared(f)))
 
 
 def render_frame(usq: np.ndarray, path: str | pathlib.Path, *, vmin=1e-7, vmax=None, dpi=80):

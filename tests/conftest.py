@@ -10,25 +10,27 @@ initialized yet.
 """
 
 import os
+import pathlib
+import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# XLA:CPU's LLVM codegen contracts mul+add chains into FMA on AVX2+
-# hosts (measured: jit(h + a*a) == fl64(h + a*a) rounded once, not the
-# IEEE two-rounding result — and nothing at the HLO level, not even
-# optimization_barrier or reduce-precision, blocks it). That single
-# extra bit of precision is usually harmless but it BREAKS the
-# error-free transforms the double-single engine (ops/df64.py) is built
-# on, which need strict one-rounding-per-op f32 semantics. Capping the
-# ISA at AVX (pre-FMA) restores IEEE semantics for the CPU test suite;
-# real TPU semantics are verified on-chip by the tpu-marked ds suite,
-# and ds_engine refuses to run on a backend that fails
-# df64.check_backend().
-if "xla_cpu_max_isa" not in flags:
-    flags = (flags + " --xla_cpu_max_isa=AVX").strip()
-os.environ["XLA_FLAGS"] = flags
-os.environ["JAX_PLATFORMS"] = "cpu"
+_REPO = str(pathlib.Path(__file__).resolve().parents[1])
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Flag assembly is shared with the driver's multi-chip dryrun subprocess
+# (__graft_entry__.forced_cpu_env) so the suite and the driver gate can
+# never run under different numeric flags again: in round 4 the dryrun
+# env missed --xla_cpu_max_isa=AVX (which the double-single engine's
+# error-free transforms require — XLA:CPU otherwise contracts mul+add
+# into FMA on AVX2+ hosts and breaks strict one-rounding f32 semantics;
+# see forced_cpu_env's docstring and ops/df64.py) while conftest carried
+# it, so every ds test passed here and the driver gate failed.
+from __graft_entry__ import forced_cpu_env  # noqa: E402
+
+_env = forced_cpu_env(8, base_env=os.environ)
+os.environ["XLA_FLAGS"] = _env["XLA_FLAGS"]
+os.environ["JAX_PLATFORMS"] = _env["JAX_PLATFORMS"]
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 # The XLA:CPU AOT loader logs a scary-but-benign machine-feature ERROR
 # for every program loaded from the persistent cache (the only deltas
 # are the 'prefer-no-scatter/gather' tuning pseudo-features); silence

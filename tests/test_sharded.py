@@ -188,6 +188,42 @@ def test_dryrun_multichip_inline():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_driver_subprocess():
+    """The EXACT driver-gate path: a fresh process WITHOUT the conftest's
+    forced-CPU env calls dryrun_multichip(8), which must re-exec itself
+    under __graft_entry__.forced_cpu_env. Round 4 shipped a regression
+    precisely because no test ran this path: the suite passed under
+    conftest's flags (which carried --xla_cpu_max_isa=AVX) while the
+    dryrun subprocess env missed that flag and the ds64 leg's
+    df64.check_backend correctly rejected the FMA-contracting backend."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = {
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "HOME": "/root",
+        # the suite's persistent compilation cache (conftest sets the
+        # same dir in-process); forced_cpu_env passes it through to the
+        # nested dryrun subprocess, keeping this test fast when warm
+        "JAX_COMPILATION_CACHE_DIR": str(repo / ".jax_cache"),
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.5",
+        "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "-1",
+        "TF_CPP_MIN_LOG_LEVEL": os.environ.get("TF_CPP_MIN_LOG_LEVEL", "3"),
+        # deliberately NO JAX_PLATFORMS / XLA_FLAGS: the driver's ambient
+        # env doesn't force CPU either — dryrun_multichip must do it
+    }
+    code = "import __graft_entry__ as g; g.dryrun_multichip(8); print('DRYRUN_OK')"
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, cwd=str(repo), capture_output=True, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "DRYRUN_OK" in proc.stdout
+
+
 def test_rdma_interpret_guard():
     """The in-kernel remote-DMA halo path (sharded-pallas-rdma) has no
     interpret-mode support in jax 0.9 (remote DMA under shard_map
