@@ -438,6 +438,41 @@ def _make_kernel(
     # the free variant of the DMA-mask path never reads the mask
     stage_walls = wall_mode and wall_spec is None
 
+    # --- slim halo-role staging -------------------------------------
+    # Issue roles are static: issue 0 is only ever consumed as the
+    # s_top halo (its last T rows) and issue `length+1` only as the
+    # s_bot halo (its first T rows); issues 1..length are bodies,
+    # consumed in full. Staging whole br-row blocks for the two
+    # halo-role issues is (br - SLIVER)/br dead DMA per launch end —
+    # and on the sharded edge launches the ppermute patch overwrites
+    # even the read rows, making the whole copy dead. Slim staging
+    # replaces the halo-role copies with one sublane-tile-aligned
+    # sliver (8 rows f32 / 16 rows bf16) and skips the fully-patched
+    # ones outright. This is what makes segment/edge launches cheap:
+    # a wall-partition run of length l stages l + 2*SLIVER/br blocks
+    # instead of l + 2. Results are bitwise identical (the elided rows
+    # were never read). "noslim" in ablate restores full staging (the
+    # perf-lab A/B for this optimization).
+    SLIVER = 16 if np.dtype(storage).itemsize == 2 else 8
+    _slim = (
+        "noslim" not in ablate
+        and not (multipass or skew or emit_carry or rdma)
+        and panels == 1
+        and br > SLIVER
+        and T <= SLIVER
+    )
+
+    def _issue_role(k: int) -> str:
+        """Static staging role of issue k (k is a Python int)."""
+        if not _slim:
+            return "full"
+        if k == 0:
+            # the htop patch fully covers the read rows of issue 0
+            return "skip" if need_top else "top"
+        if k == length + 1:
+            return "skip" if need_bot else "bot"
+        return "full"
+
     def _rem(a, n: int):
         # int32-stable modulo (tests run under jax_enable_x64)
         return jax.lax.rem(jnp.asarray(a, jnp.int32), jnp.int32(n))
@@ -647,7 +682,35 @@ def _make_kernel(
                         lane >= lpad + ny, right, v
                     ).astype(storage)
 
-        def copies(k):
+        def copies(k, role="full"):
+            if role != "full":
+                # static halo-role issue (k is a Python int): stage only
+                # the SLIVER rows the window assembly can read — the
+                # last SLIVER of the block for the s_top role, the first
+                # SLIVER for s_bot (T <= SLIVER always here)
+                if external_halo:
+                    sblk = min(max(k - 1 + start, 0), n_blocks - 1)
+                else:
+                    sblk = (k + start + n_blocks - 1) % n_blocks
+                slot = k % SLOTS
+                ro = br - SLIVER if role == "top" else 0
+                r0s = sblk * br + ro
+                out = [
+                    pltpu.make_async_copy(
+                        f_hbm.at[:, pl.ds(r0s, SLIVER), :],
+                        fbody.at[slot, :, pl.ds(ro, SLIVER), :],
+                        sems.at[slot, 0],
+                    )
+                ]
+                if wbody is not None:
+                    out.append(
+                        pltpu.make_async_copy(
+                            walls_hbm.at[pl.ds(r0s, SLIVER), :],
+                            wbody.at[slot, pl.ds(ro, SLIVER), :],
+                            sems.at[slot, 1],
+                        )
+                    )
+                return out
             if multipass:
                 # issue g = 0 pre-stages block nb-1 of the chunk's input
                 # (parity 0) — pass 0's top halo; issues g >= 1 belong to
@@ -713,12 +776,12 @@ def _make_kernel(
                 )
             return out
 
-        def begin(k):
-            for c in copies(k):
+        def begin(k, role="full"):
+            for c in copies(k, role):
                 c.start()
 
-        def wait(k):
-            for c in copies(k):
+        def wait(k, role="full"):
+            for c in copies(k, role):
                 c.wait()
 
         # warm-up at i=0: start the first SLOTS-1 issues; every step
@@ -766,19 +829,51 @@ def _make_kernel(
             wait(e_iss + 2)
             remirror(_rem(e_iss + 2, SLOTS), _issue_refresh(e_iss + 2))
         else:
+            # the last issue's role decides the traced begin/wait split
+            # below: a non-"full" role needs its own statically-shaped
+            # descriptor (DMA byte counts are baked into the descriptor,
+            # so a begin and its wait must agree), gated by pl.when on
+            # the one step that touches issue length+1
+            last_role = _issue_role(length + 1)
+
             @pl.when(i == 0)
             def _():
                 for k in range(k_first, min(SLOTS - 1, length + 2)):
-                    begin(k)
+                    if _issue_role(k) != "skip":
+                        begin(k, _issue_role(k))
                 for k in range(k_first, 2):
-                    wait(k)
+                    if _issue_role(k) != "skip":
+                        wait(k, _issue_role(k))
                     remirror(k)  # SLOTS >= 4, so issues 0, 1 sit in slots 0, 1
 
-            @pl.when(i + SLOTS - 1 < length + 2)
-            def _():
-                begin(i + SLOTS - 1)
+            if last_role == "full":
+                @pl.when(i + SLOTS - 1 < length + 2)
+                def _():
+                    begin(i + SLOTS - 1)
 
-            wait(i + 2)
+                wait(i + 2)
+            else:
+                # issues [SLOTS-1, length] are bodies (full); issue
+                # length+1 is the s_bot halo role — sliver or skipped
+                @pl.when(i + SLOTS - 1 < length + 1)
+                def _():
+                    begin(i + SLOTS - 1)
+
+                if last_role != "skip" and length + 1 >= SLOTS - 1:
+                    # begun in warmup when length+1 < SLOTS-1
+                    @pl.when(i + SLOTS - 1 == length + 1)
+                    def _():
+                        begin(length + 1, last_role)
+
+                @pl.when(i + 2 < length + 1)
+                def _():
+                    wait(i + 2)
+
+                if last_role != "skip":
+                    @pl.when(i + 2 == length + 1)
+                    def _():
+                        wait(length + 1, last_role)
+
             remirror(_rem(i + 2, SLOTS))
 
         if external_halo and not rdma:

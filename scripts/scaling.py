@@ -16,7 +16,14 @@ README.md:44-57). Single-chip era analog, two modes:
   --mode predict  the mpi-runtimes.dat analog for a 1-chip environment:
                measured per-shard step times at each shard height + an
                ICI halo-traffic model -> a 2/4/8-chip scaling table,
-               clearly labeled PREDICTED (see mode_predict docstring)
+               clearly labeled PREDICTED (see mode_predict docstring);
+               includes the DP (ds64 pair) section mirroring the
+               reference's DP MPI column
+
+  --mode ab    overlap-vs-sync schedule A/B (sharded-pallas vs
+               sharded-pallas-fused) with perfetto trace capture and
+               programmatic permute-fraction/overlap extraction — the
+               executable analog of img/comms-{no-,}overlap.png
 
 Writes markdown rows to stdout; paste into docs/SCALING.md.
 """
@@ -42,6 +49,24 @@ def _timed_steps(sim_factory, steps, warmup=24):
     sim.steps_done = 0
     sim.run(steps)
     return sim
+
+
+def _slope_time(sim, n1=240, n2=720, reps=2):
+    """Per-step time as the slope between n1- and n2-step runs (cancels
+    fixed per-dispatch overhead; bench.py's defended methodology). n1/n2
+    are multiples of 240 = lcm(2T) over the temporal depths in use, so
+    both hit the same zero-remainder pre-compiled runner."""
+    def timed(n):
+        sim.elapsed = 0.0
+        sim.steps_done = 0
+        sim.run(n)
+        return sim.elapsed
+
+    sim.run(n1)  # warm this exact program
+    timed(n1)
+    t1 = min(timed(n1) for _ in range(reps))
+    t2 = min(timed(n2) for _ in range(reps))
+    return (t2 - t1) / (n2 - n1)
 
 
 def mode_cpu(args):
@@ -194,6 +219,54 @@ def mode_tpu(args):
                   f"(reference overlap mode: README.md:45-51)")
 
 
+def mode_ab(args):
+    """Overlap-vs-sync A/B of the two sharded-Pallas halo schedules with
+    jax.profiler trace capture wired in — the executable analog of the
+    reference's img/comms-no-overlap.png vs img/comms-overlap.png pair
+    (README.md:45-51). Both schedules are slope-timed on the reference
+    scenes, then each is traced and the collective-permute fraction and
+    permute/compute overlap percentage extracted programmatically. On a
+    1-device mesh the ppermutes lower to local copies (no
+    collective-permute device events — reported explicitly), so the
+    single-chip run measures the schedules' launch economics and proves
+    the capture pipeline; on a real multi-chip mesh THIS SAME COMMAND
+    yields the measured comm fractions the reference reads off its MPI
+    timelines."""
+    import numpy as np
+
+    import jax
+    from latticeboltzmann_tpu import LatticeConfig, Simulation, geometry
+
+    print(f"device: {jax.devices()[0].device_kind}; "
+          f"{jax.device_count()} device(s) visible")
+    print("\n| scene | schedule | backend | us/step | MLUPS (slope) | permute evidence |")
+    print("|---|---|---|---|---|---|")
+    for nx, ny in ((400, 2000), (800, 4000)):
+        cfg = LatticeConfig(nx=nx, ny=ny, dtype=np.float32)
+        walls = geometry.reference_barrier(nx, ny)
+        for sched, backend in (("overlap", "sharded-pallas"),
+                               ("sync", "sharded-pallas-fused")):
+            sim = Simulation(cfg, walls, backend=backend)
+            t = _slope_time(sim)
+            tdir = os.path.join(f"{args.trace_dir}_ab", f"{nx}x{ny}_{sched}")
+            os.makedirs(tdir, exist_ok=True)
+            jax.profiler.start_trace(tdir, create_perfetto_trace=True)
+            sim.run(60)
+            jax.profiler.stop_trace()
+            res = _perfetto_comm_fraction(tdir)
+            ov = _perfetto_overlap(tdir)
+            if res is None or res[0] < 50.0:
+                ev = "no permute device events (1-device mesh: local copy)"
+            else:
+                comm, total, _ = res
+                ev = f"permute {100*comm/total:.1f}% of device time"
+                if ov:
+                    ev += (f", {100*ov[1]/max(ov[0],1e-9):.0f}% overlapped "
+                           "with kernel compute")
+            print(f"| {nx}x{ny} | {sched} | {backend} | {t*1e6:.1f} | "
+                  f"{nx*ny/t/1e6:.0f} | {ev} |", flush=True)
+
+
 def _perfetto_overlap(trace_dir):
     """(permute_total_us, permute_overlapped_us): how much permute time
     coincides with a Pallas kernel slice on another track."""
@@ -285,19 +358,7 @@ def mode_predict(args):
             walls = geometry.channel_with_barrier(L, ny)
             shard_cfg = LatticeConfig(nx=L, ny=ny, dtype=np.float32)
             sim = Simulation(shard_cfg, walls, backend="sharded-pallas")
-            n1, n2 = 240, 720
-            sim.run(n1)
-
-            def timed(n):
-                sim.elapsed = 0.0
-                sim.steps_done = 0
-                sim.run(n)
-                return sim.elapsed
-
-            timed(n1)
-            t1 = min(timed(n1) for _ in range(2))
-            t2 = min(timed(n2) for _ in range(2))
-            meas[L] = (t2 - t1) / (n2 - n1)
+            meas[L] = _slope_time(sim)
         ls = np.array(sorted(meas))
         ts = np.array([meas[l] for l in ls])
         b, a = np.polyfit(ls, ts, 1) if len(ls) > 1 else (ts[0] / ls[0], 0.0)
@@ -325,10 +386,68 @@ def mode_predict(args):
                   f"{runtime:.2f}\t{base/runtime:.2f}\t{mlups:.0f}\t"
                   f"{eff:.2f}\t{src}", flush=True)
 
+    # --- DP section: the sharded double-single (pair-DP) kernel — the
+    # analog of the reference's DP MPI column (mpi-runtimes.dat DP rows;
+    # 1,205.7 MLUPS at 13 nodes, mpi-runtimes.dat:76). Same method as
+    # above with the ds specifics: T=DS_TEMPORAL, halo = BOTH pair
+    # components (2 ppermutes per direction per pass), and the ext-halo
+    # runner is a SYNC schedule (the kernel's affine block specs consume
+    # the halos directly, so nothing overlaps them): t_pred = t_shard +
+    # t_comm rather than max(t_shard, t_comm + t_edges).
+    from latticeboltzmann_tpu.ops import fused_ds_kernel as fdk
+
+    nx, ny = 800, 4000
+    T = fdk.DS_TEMPORAL
+    nyp, _ = fdk.pick_layout(ny, T)
+    halo_bytes = 2 * 9 * T * nyp * 4  # hi+lo, per direction per pass
+    t_comm_pass = halo_bytes / ICI_BW + 2 * ICI_LAT
+    print(f"\n#{nx}x{ny}, {args.steps} steps DP (ds64 pair), PREDICTED "
+          f"from 1-chip shard measurements + ICI model (sync schedule)")
+    print(f"#halo {halo_bytes/1e3:.0f} KB/direction/pass, "
+          f"t_comm {t_comm_pass*1e6:.1f} us/pass (T={T})")
+    heights = [L for L in (nx, nx // 2, nx // 4, nx // 8)
+               if fdk.pick_ds_block_rows(L, nyp, T, ext_halo=True)]
+    meas = {}
+    for L in heights:
+        walls = geometry.channel_with_barrier(L, ny)
+        shard_cfg = LatticeConfig(nx=L, ny=ny, dtype=np.float64)
+        sim = Simulation(shard_cfg, walls, backend="sharded-pallas-ds64")
+        meas[L] = _slope_time(sim)
+    ls = np.array(sorted(meas))
+    ts = np.array([meas[l] for l in ls])
+    b, a = np.polyfit(ls, ts, 1) if len(ls) > 1 else (ts[0] / ls[0], 0.0)
+    print("#measured shards: " + ", ".join(
+        f"{l} rows = {meas[l]*1e6:.1f} us/step" for l in sorted(meas)))
+    print(f"#fit t(L) = {a*1e6:.1f} us + {b*1e9:.2f} ns/row")
+    print("#Chips\tt_shard(us/step)\tt_comm(us/step)\tRuntime (s)\t"
+          "Speedup\tMLUPS\tefficiency\tsource")
+    base = None
+    ref_dp = 1205.7  # mpi-runtimes.dat:76, 13-node DP overlap
+    overtaken = False
+    for d in (1, 2, 4, 8):
+        L = nx // d
+        src = "measured" if L in meas else "fit"
+        t_shard = meas.get(L, a + b * L)
+        t_comm = (t_comm_pass / T) if d > 1 else 0.0
+        t_pred = t_shard + t_comm
+        runtime = t_pred * args.steps
+        mlups = nx * ny * args.steps / runtime / 1e6
+        if base is None:
+            base = runtime
+        eff = base / runtime / d
+        mark = ""
+        if not overtaken and mlups > ref_dp:
+            mark = "  <- overtakes the reference 13-node DP cluster (1205.7)"
+            overtaken = True
+        print(f"{d}\t{t_shard*1e6:.1f}\t{t_comm*1e6:.2f}\t"
+              f"{runtime:.2f}\t{base/runtime:.2f}\t{mlups:.0f}\t"
+              f"{eff:.2f}\t{src}{mark}", flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["cpu", "tpu", "predict"], required=True)
+    ap.add_argument("--mode", choices=["cpu", "tpu", "predict", "ab"],
+                    required=True)
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--trace-dir", default="/tmp/lbm_trace")
     ap.add_argument("--_reexeced", action="store_true")
@@ -350,16 +469,12 @@ def main():
         ))
     if args.mode == "cpu":
         mode_cpu(args)
-    elif args.mode == "predict":
-        from latticeboltzmann_tpu.utils.tpulock import tpu_lock
-
-        with tpu_lock():
-            mode_predict(args)
     else:
         from latticeboltzmann_tpu.utils.tpulock import tpu_lock
 
+        fn = {"predict": mode_predict, "tpu": mode_tpu, "ab": mode_ab}[args.mode]
         with tpu_lock():
-            mode_tpu(args)
+            fn(args)
 
 
 if __name__ == "__main__":

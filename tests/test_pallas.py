@@ -905,3 +905,53 @@ def test_flat_bf16_storage():
         classic.astype(np.float32), flat.astype(np.float32),
         rtol=0, atol=2e-3,
     )
+
+
+def test_slim_halo_staging_bitwise_equals_full():
+    """Slim halo-role staging: the first/last issues of every launch
+    stage only the sublane-tile sliver the window assembly can read
+    (T <= 8 rows), and the sharded edge launches' fully-ppermute-patched
+    issues skip their DMA outright. The elided rows were never read, so
+    results must be BITWISE equal to full staging ('noslim' ablate) for
+    every launch shape: affine/wrapping/full-grid local segments and
+    top/bottom/both-ends sharded launches."""
+    import functools
+
+    cfg = LatticeConfig(nx=64, ny=48, dtype=np.float32)
+    walls = geometry.channel_with_barrier(cfg.nx, cfg.ny)
+    T = 3
+    nyp, lpad = fk.pick_layout(cfg.ny, T)
+    br = 16
+    nb = cfg.nx // br
+    f_p, walls_p = fk.pad_state(
+        jnp.asarray(initial_state(cfg)), jnp.asarray(walls), cfg, nyp, lpad
+    )
+    rfl = fk._flag(True)
+    noslim = frozenset({"noslim"})
+
+    for start, length in ((1, 2), (nb - 1, 2), (0, nb)):
+        mk = functools.partial(
+            fk.make_step, cfg, cfg.nx, nyp, br, True, T,
+            start=start, length=length, lpad=lpad,
+        )
+        a = mk()(f_p, jnp.zeros_like(f_p), walls_p, rfl)
+        b = mk(ablate=noslim)(f_p, jnp.zeros_like(f_p), walls_p, rfl)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # sharded (external-halo) launches; distinct halo values so a
+    # mis-staged row cannot alias the local wrap
+    htop = f_p[:, -T:, :] * np.float32(1.5)
+    hbot = f_p[:, :T, :] * np.float32(0.5)
+    wht, whb = walls_p[-T:, :], walls_p[:T, :]
+    for start, length, extra in (
+        (0, 1, (htop, wht)),
+        (nb - 1, 1, (hbot, whb)),
+        (0, nb, (htop, hbot, wht, whb)),
+    ):
+        mk = functools.partial(
+            fk.make_step, cfg, cfg.nx, nyp, br, True, T,
+            external_halo=True, start=start, length=length, lpad=lpad,
+        )
+        a = mk()(f_p, jnp.zeros_like(f_p), walls_p, *extra, rfl)
+        b = mk(ablate=noslim)(f_p, jnp.zeros_like(f_p), walls_p, *extra, rfl)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

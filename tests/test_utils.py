@@ -267,12 +267,15 @@ def test_bench_suite_configs_integrity():
 
     # config 5 runs twice (f32/bf16); the headline scene also has a bf16
     # row; three rows complete the reference's SP/DP x 3-sizes table;
-    # two ds64 rows are the pair-DP perf answer to the DP columns
-    assert len(CONFIGS) == 12
+    # two ds64 rows are the pair-DP perf answer to the DP columns; the
+    # 13th row is the row-sharded ds64 kernel (the per-chip program of
+    # a multi-chip DP run — the reference's DP MPI column)
+    assert len(CONFIGS) == 13
     precisions = {c[3] for c in CONFIGS}
     assert precisions == {"f64", "f32", "bf16", "ds64"}
     assert any(c[5] == "sharded-pallas" for c in CONFIGS)
     assert any(c[5] == "pallas-ds64" for c in CONFIGS)
+    assert any(c[5] == "sharded-pallas-ds64" for c in CONFIGS)
     assert any(c[4] == "cylinder" for c in CONFIGS)
     for name, nx, ny, prec, geo, backend, rt, hw in CONFIGS:
         assert nx % 8 == 0 and ny >= 128
