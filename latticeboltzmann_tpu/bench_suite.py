@@ -1,4 +1,4 @@
-"""Benchmark suite — twelve configs: the five BASELINE.json configs,
+"""Benchmark suite — thirteen configs: the five BASELINE.json configs,
 bf16-storage variants, the SP/DP precision-table completion rows, and
 the double-single (pair-DP) fused-kernel rows, reproducing the
 reference's benchmark-table methodology (README.md:66-90,
