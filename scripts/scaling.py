@@ -308,6 +308,18 @@ ICI_BW = 4.5e10
 ICI_LAT = 2e-6  # per-permute launch+latency allowance (s)
 
 
+def _padded_height(L, ok, step=8, tries=32):
+    """Smallest kernel-tileable height >= L (8-row sublane steps): the
+    height a real shard of L rows pads to, paying the padded rows'
+    full compute. None if nothing within `tries` steps tiles."""
+    Lp = (L + step - 1) // step * step
+    for _ in range(tries):
+        if ok(Lp):
+            return Lp
+        Lp += step
+    return None
+
+
 def mode_predict(args):
     """Predicted multi-chip scaling table — the mpi-runtimes.dat analog
     (reference mpi-runtimes.dat:1-96) for an environment with ONE real
@@ -346,15 +358,20 @@ def mode_predict(args):
               f"1-chip shard measurements + ICI model")
         print(f"#halo {halo_bytes/1e3:.0f} KB/direction/pass, "
               f"t_comm {t_comm_pass*1e6:.1f} us/pass (T={T})")
-        # measure the per-shard program at every kernel-tileable height,
-        # fit t(L) = a + b*L (a = the per-step fixed cost every shard
-        # pays regardless of height), and read untileable heights off
-        # the fit — on real hardware those shards would round their
-        # block size or pad rows, paying >= the fitted time.
-        heights = [L for L in (nx, nx // 2, nx // 4, nx // 8)
-                   if fk.pick_block_config(L, nyp, 4, T, walls_dma=False)[0]]
+        # measure the per-shard program at EVERY chip count's shard
+        # height: heights the kernel cannot tile (e.g. 100 = 400/4,
+        # which no block size divides) are measured at the next
+        # tileable padded height — exactly what a real D-chip run would
+        # do (pad the shard's rows and pay the padded compute), so no
+        # table row is a fit extrapolation. (Round 4 fit t(L) from the
+        # two tileable heights instead; post round-5 slim staging that
+        # 2-point fit has a NEGATIVE intercept, which extrapolated to
+        # absurd 4/8-chip rates — measuring padded heights replaces it.)
+        ok = lambda L: bool(fk.pick_block_config(L, nyp, 4, T,
+                                                 walls_dma=False)[0])
+        targets = {d: _padded_height(nx // d, ok) for d in (1, 2, 4, 8)}
         meas = {}
-        for L in heights:
+        for L in sorted({h for h in targets.values() if h}):
             walls = geometry.channel_with_barrier(L, ny)
             shard_cfg = LatticeConfig(nx=L, ny=ny, dtype=np.float32)
             sim = Simulation(shard_cfg, walls, backend="sharded-pallas")
@@ -364,17 +381,25 @@ def mode_predict(args):
         b, a = np.polyfit(ls, ts, 1) if len(ls) > 1 else (ts[0] / ls[0], 0.0)
         print("#measured shards: " + ", ".join(
             f"{l} rows = {meas[l]*1e6:.1f} us/step" for l in sorted(meas)))
-        print(f"#fit t(L) = {a*1e6:.1f} us + {b*1e9:.2f} ns/row")
+        print(f"#fit t(L) = {a*1e6:.1f} us + {b*1e9:.2f} ns/row "
+              "(context only; table rows are measured)")
         print("#Chips\tt_shard(us/step)\tt_comm(us/step)\tRuntime (s) "
               "overlap\tSpeedup\tMLUPS\tefficiency\tsource")
         base = None
         for d in (1, 2, 4, 8):
             L = nx // d
-            src = "measured" if L in meas else "fit"
-            t_shard = meas.get(L, a + b * L)
+            Lp = targets[d]
+            if Lp is not None:
+                t_shard = meas[Lp]
+                src = ("measured" if Lp == L
+                       else f"measured @ {Lp}-row padded shard")
+            else:  # no tileable height found: fit, floored at linear
+                t_shard = max(a + b * L, b * L)
+                src = "fit"
             t_comm = (t_comm_pass / T) if d > 1 else 0.0
-            br = fk.pick_block_config(L, nyp, 4, T, walls_dma=False)[0] or 8
-            nb = max(1, L // br)
+            br = fk.pick_block_config(Lp or L, nyp, 4, T,
+                                      walls_dma=False)[0] or 8
+            nb = max(1, (Lp or L) // br)
             t_edges = 2.0 / max(nb, 2) * t_shard
             t_pred = max(t_shard, t_comm + t_edges) if d > 1 else t_shard
             runtime = t_pred * args.steps
@@ -405,10 +430,10 @@ def mode_predict(args):
           f"from 1-chip shard measurements + ICI model (sync schedule)")
     print(f"#halo {halo_bytes/1e3:.0f} KB/direction/pass, "
           f"t_comm {t_comm_pass*1e6:.1f} us/pass (T={T})")
-    heights = [L for L in (nx, nx // 2, nx // 4, nx // 8)
-               if fdk.pick_ds_block_rows(L, nyp, T, ext_halo=True)]
+    ok_ds = lambda L: bool(fdk.pick_ds_block_rows(L, nyp, T, ext_halo=True))
+    targets = {d: _padded_height(nx // d, ok_ds) for d in (1, 2, 4, 8)}
     meas = {}
-    for L in heights:
+    for L in sorted({h for h in targets.values() if h}):
         walls = geometry.channel_with_barrier(L, ny)
         shard_cfg = LatticeConfig(nx=L, ny=ny, dtype=np.float64)
         sim = Simulation(shard_cfg, walls, backend="sharded-pallas-ds64")
@@ -418,7 +443,8 @@ def mode_predict(args):
     b, a = np.polyfit(ls, ts, 1) if len(ls) > 1 else (ts[0] / ls[0], 0.0)
     print("#measured shards: " + ", ".join(
         f"{l} rows = {meas[l]*1e6:.1f} us/step" for l in sorted(meas)))
-    print(f"#fit t(L) = {a*1e6:.1f} us + {b*1e9:.2f} ns/row")
+    print(f"#fit t(L) = {a*1e6:.1f} us + {b*1e9:.2f} ns/row "
+          "(context only; table rows are measured)")
     print("#Chips\tt_shard(us/step)\tt_comm(us/step)\tRuntime (s)\t"
           "Speedup\tMLUPS\tefficiency\tsource")
     base = None
@@ -426,8 +452,14 @@ def mode_predict(args):
     overtaken = False
     for d in (1, 2, 4, 8):
         L = nx // d
-        src = "measured" if L in meas else "fit"
-        t_shard = meas.get(L, a + b * L)
+        Lp = targets[d]
+        if Lp is not None:
+            t_shard = meas[Lp]
+            src = ("measured" if Lp == L
+                   else f"measured @ {Lp}-row padded shard")
+        else:
+            t_shard = max(a + b * L, b * L)
+            src = "fit"
         t_comm = (t_comm_pass / T) if d > 1 else 0.0
         t_pred = t_shard + t_comm
         runtime = t_pred * args.steps
