@@ -434,7 +434,7 @@ def main():
     ap.add_argument("--section", default="all",
                     choices=["all", "xla", "copy", "roll", "align", "ablate",
                              "sweep", "prod", "split", "bf16", "floor",
-                             "skew", "launchtax", "flat"])
+                             "skew", "launchtax", "flat", "slim"])
     args = ap.parse_args()
     from latticeboltzmann_tpu.utils.tpulock import tpu_lock
 
@@ -625,6 +625,30 @@ def main():
         except Exception as e:
             print(f"flat anchor2: FAILED ({type(e).__name__}: {str(e)[:150]})",
                   flush=True)
+    if args.section == "slim":
+        # Slim halo-role staging A/B (round 5): the halo-role issues of
+        # every launch stage one 8-row sliver instead of a whole
+        # br-row block (ops/fused_kernel.py "slim halo-role staging").
+        # The saving scales with launch count (two slimmed ends per
+        # launch), so measure the production auto plan (2 launches on
+        # the reference scene) AND a free 3-launch split, interleaved
+        # slim/noslim reps in one session so chip/session variance
+        # cannot masquerade as the effect.
+        nb_ = NX // 32
+        free3 = ((nb_ - 8, 2, False, None), (nb_ - 6, 6, False, None),
+                 (0, nb_ - 8, False, None))
+        for rep in (1, 2):
+            for tag, ab in (("slim", frozenset()),
+                            ("noslim", frozenset({"noslim"}))):
+                for ptag, segs in (("auto", None), ("free 3L", free3)):
+                    try:
+                        production(args.steps, temporal=3, segs=segs,
+                                   scene="reference",
+                                   tag=f"{ptag} {tag} rep{rep}", ablate=ab)
+                    except Exception as e:
+                        print(f"slim {ptag} {tag}: FAILED "
+                              f"({type(e).__name__}: {str(e)[:150]})",
+                              flush=True)
     if args.section in ("all", "split"):
         B = ((17, 8, True), (0, 17, False))
         cases = [
