@@ -2157,6 +2157,17 @@ REGION_FIXED_COST = 300.0
 # underestimated this ~10x and made the DP over-split: the reference
 # scene's 3-launch region partition measured 168.7 us/step vs
 # 162.9-165.1 for the 2-launch coarse partition in the same session.
+#
+# Round-5 note: slim halo-role staging HALVED the raw boundary tax
+# (free 1L->2L +6.9, ->3L +15.9 us/step total), but do NOT re-derive
+# this constant from that alone: at <=12000 the DP flips the reference
+# scene to a 3-launch (2-block full-mask + 6-block regions) plan that
+# MEASURES ~9 us/step WORSE than the 2-launch plan in an interleaved
+# A/B (168.2-170.1 vs 159.6-160.3; docs/TUNING.md round-5) — the
+# regions run's real cost exceeds its model by more than the boundary
+# got cheaper. 24000 keeps selecting the measured-optimal plan on
+# every scene measured; treat it as a calibrated plan selector, not a
+# pure boundary price.
 LAUNCH_COST_PASS_UNITS = 24000.0
 
 

@@ -574,6 +574,12 @@ def main():
         # coarse masked 2L 165.1/162.9, auto-regions 3L 168.7 — the
         # boundary dominates the select/region savings, so the DP must
         # price it honestly (the old 2400-unit guess over-split).
+        # Post-slim re-run (2026-08-20): free 1L 142.0/139.3, 2L 147.6
+        # (+6.9/boundary), 3L 156.6, coarse masked 2L 162.5, auto
+        # 165.0 — the boundary tax HALVED, but the DP constant stays
+        # 24000: the cheaper-boundary-derived ~13000 flips the scene to
+        # a 3L regions plan that measures ~9 us/step WORSE (see the
+        # constant's round-5 note and docs/TUNING.md).
         import numpy as _np
         from latticeboltzmann_tpu.core.geometry import reference_barrier
         from latticeboltzmann_tpu.ops import fused_kernel as fk
