@@ -37,6 +37,19 @@ if _REPO not in sys.path:
 # it, so every ds test passed here and the driver gate failed.
 from __graft_entry__ import forced_cpu_env  # noqa: E402
 
+# Stash the pre-pin values FIRST: the tpu-marked smoke tests
+# (tests/test_tpu_smoke.py) undo this CPU pinning for their on-chip
+# child subprocesses via _tpu_child_env(), and need the original
+# plugin gate + XLA_FLAGS back. Without the stash, popping
+# PALLAS_AXON_POOL_IPS here propagated to every child and made all
+# four tpu tests skip with "no TPU backend reachable" even with a
+# healthy chip (round-5 regression, introduced with forced_cpu_env).
+os.environ.setdefault("LBM_PRE_CONFTEST_XLA_FLAGS", os.environ.get("XLA_FLAGS", ""))
+if "PALLAS_AXON_POOL_IPS" in os.environ:
+    os.environ.setdefault(
+        "LBM_PRE_CONFTEST_POOL_IPS", os.environ["PALLAS_AXON_POOL_IPS"]
+    )
+
 _env = forced_cpu_env(8, base_env=os.environ)
 os.environ["XLA_FLAGS"] = _env["XLA_FLAGS"]
 os.environ["JAX_PLATFORMS"] = _env["JAX_PLATFORMS"]
